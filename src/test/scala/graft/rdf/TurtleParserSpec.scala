@@ -1,0 +1,62 @@
+package graft.rdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TurtleParserSpec extends AnyFunSuite {
+  private val test = "http://test.example.com/"
+
+  test("parses the reference data fixture") {
+    val triples = Rdf.toStringTriples(TurtleParser.parseFile("src/test/resources/data/test.ttl"))
+    // 22 typed instances: 7 ClassA + 11 ClassB + 4 ClassC
+    val typed = triples.filter(_.pred == Rdf.rdfType)
+    assert(typed.size == 22)
+    assert(typed.count(_.obj == s"${test}ClassA") == 7)
+    assert(typed.count(_.obj == s"${test}ClassB") == 11)
+    assert(typed.count(_.obj == s"${test}ClassC") == 4)
+    // ClassA_Instance3 has 4 distinct property0 values
+    val p0 = triples.filter(t => t.subj == s"${test}ClassA_Instance3" && t.pred == s"${test}property0")
+    assert(p0.map(_.obj).distinct.size == 4)
+    // numeric literal kept as lexical string
+    assert(triples.exists(t => t.subj == s"${test}ClassA_Instance0" &&
+      t.pred == s"${test}property1" && t.obj == "1989"))
+    // decimal
+    assert(triples.exists(t => t.subj == s"${test}ClassA_Instance4" && t.obj == "0.8"))
+  }
+
+  test("parses blank node property lists and collections") {
+    val ttl =
+      """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        |@prefix : <http://ex.org/> .
+        |:S a sh:NodeShape ;
+        |  sh:or ( [ sh:path :p ; sh:minCount 1 ] [ sh:path :q ; sh:maxCount 0 ] ) ;
+        |  sh:property [ sh:path [ sh:inversePath :r ] ; sh:minCount 2 ] .
+        |""".stripMargin
+    val triples = TurtleParser.parse(ttl)
+    assert(triples.exists(t => t.pred.value == Rdf.rdfFirst))
+    assert(triples.count(t => t.pred.value == Rdf.sh + "path") == 3)
+    assert(triples.exists(t => t.pred.value == Rdf.sh + "inversePath"))
+  }
+
+  test("parses triple-quoted sparql select strings") {
+    val q3 = "\"\"\""
+    val ttl =
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |@prefix : <http://ex.org/> .
+         |:S a sh:NodeShape ;
+         |  sh:sparql [ a sh:SPARQLConstraint ; sh:select $q3
+         |    SELECT ($$this AS ?this) WHERE { $$this <http://ex.org/p> ?o FILTER( ?o > 2022 ) }
+         |  $q3 ; ] .
+         |""".stripMargin
+    val triples = TurtleParser.parse(ttl)
+    val sel = triples.find(_.pred.value == Rdf.sh + "select").get
+    assert(sel.obj.value.contains("FILTER( ?o > 2022 )"))
+  }
+
+  test("parses the LUBM example fixture") {
+    val triples = Rdf.toStringTriples(TurtleParser.parseFile("src/test/resources/lubm/LUBM.ttl"))
+    assert(triples.nonEmpty)
+    val ub = "http://swat.cse.lehigh.edu/onto/univ-bench.owl#"
+    assert(triples.exists(t => t.pred == Rdf.rdfType && t.obj == s"${ub}FullProfessor"))
+    assert(triples.exists(t => t.pred == s"${ub}emailAddress"))
+  }
+}
