@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star / small-star
+  * join rounds (the classic map-reduce CC algorithm; converges in
+  * O(log²ⁿ) rounds, each round a join + aggregation — no GraphFrames
+  * dependency). Used for entity canonicalization (merging alias clusters)
+  * and near-duplicate grouping.
+  *
+  * Scale notes: every round is a `groupBy(u).min` + equi-join — both shuffle
+  * on the node id, so hub nodes (celebrity entities) hash-spread across
+  * partitions; `localCheckpoint` per round truncates the growing lineage so
+  * plans stay constant-size regardless of iteration count.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with two string columns (src, dst)
+    * @return DataFrame(node, component) — component is the minimum node id
+    *         (ordered lexicographically) of the node's component. Nodes with
+    *         no edges are their own component and are NOT emitted (callers
+    *         left-join and coalesce to self). */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val src = edges.columns(0)
+    val dst = edges.columns(1)
+
+    // symmetric, loop-free edge list
+    var e = edges.select(col(src).as("u"), col(dst).as("v"))
+      .union(edges.select(col(dst).as("u"), col(src).as("v")))
+      .filter($"u" =!= $"v")
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(g: DataFrame): DataFrame = {
+      val sym = g.select($"u", $"v").union(g.select($"v".as("u"), $"u".as("v"))).distinct()
+      val m = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      sym.join(m, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+
+    def smallStar(g: DataFrame): DataFrame = {
+      // after large-star all edges point big → small (u > v)
+      val down = g.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val m = down.groupBy($"u").agg(min($"v").as("m"))
+      down.join(m, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(m.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    var sig = checksum(e)
+    while (!converged && iter < maxIter) {
+      iter += 1
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val s = checksum(e)
+      converged = s == sig
+      sig = s
+    }
+    // fixed point is a star graph: (node, componentMin)
+    e.select($"u".as("node"), $"v".as("component"))
+      .union(e.select($"v".as("node"), $"v".as("component")))
+      .groupBy($"node").agg(min($"component").as("component"))
+  }
+
+  private def checksum(df: DataFrame): (Long, Long) = {
+    import df.sparkSession.implicits._
+    val row = df.select(
+      count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).as[(Long, Long)].first()
+    row
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-similarity primitives built from codegen'd Spark SQL functions only
+  * (no UDFs, no spark-ml): tokenization, character shingles, MinHash
+  * signatures, LSH banding, TF-IDF weighting and sparse cosine via joins.
+  * Shared by entity linking (graft.kg.EntityLinker) and near-duplicate
+  * detection (graft.ops.Dedup).
+  */
+object TextSim {
+
+  /** Lower-cased word tokens of `textCol` as an exploded (id, token) frame.
+    * `minTokenLen` drops degenerate tokens (e.g. bare initials like "g" from
+    * "G. Hopper" — nearly zero identity signal but rare enough to get a high
+    * IDF weight, the classic false-merge trap in alias linking). */
+  def tokens(df: DataFrame, idCol: String, textCol: String, minTokenLen: Int = 1): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) >= minTokenLen)).as("token"))
+      .distinct()
+
+  /** Character n-gram shingles (id, token) — for near-dup text hashing. */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    df.select(col(idCol).as("id"), norm.as("t"))
+      .select(col("id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
+          i => col("t").substr(i, lit(n)))).as("token"))
+      .distinct()
+  }
+
+  /** MinHash signature per id from an exploded (id, token) frame:
+    * k independent hash functions h_i(t) = xxhash64(t, seed_i); the signature
+    * is the per-id minimum of each — one aggregation, fully codegen'd. */
+  def minHashSignatures(tok: DataFrame, k: Int): DataFrame = {
+    val aggs: Seq[Column] = (0 until k).map(i => min(xxhash64(col("token"), lit(i))).as(s"h$i"))
+    tok.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a MinHash signature frame: emits (id, band, key) where
+    * `key` hashes `rowsPerBand` consecutive signature slots. Ids sharing a
+    * (band, key) are candidate pairs. */
+  def lshBands(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = k / rowsPerBand
+    val frames = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      sig.select(col("id"), lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+    frames.reduce(_ union _)
+  }
+
+  /** Candidate pairs (a, b) with a < b from LSH buckets. `bucketCap` guards
+    * against hub buckets (a token shared by millions of ids would otherwise
+    * produce a quadratic pair explosion — the classic LSH skew problem):
+    * oversized buckets are dropped, trading a little recall for bounded work. */
+  def candidatePairs(bands: DataFrame, bucketCap: Int = 1000): DataFrame = {
+    val capped = bands
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("sz") <= bucketCap)
+      .drop("sz")
+    capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** TF-IDF weights from an exploded (id, token) frame (set semantics — the
+    * frame is distinct, so tf ∈ {0,1}; right for short surface forms). */
+  def tfidf(tok: DataFrame, numDocs: Long): DataFrame = {
+    val df_ = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tok.join(df_, "token")
+      .withColumn("w", log((lit(numDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
+      .select(col("id"), col("token"), col("w"))
+  }
+
+  /** Cosine similarity for the given candidate pairs over TF-IDF weights:
+    * dot products via a token-level join, norms via per-id aggregation. */
+  def cosineOnPairs(pairs: DataFrame, weights: DataFrame): DataFrame = {
+    val norms = weights.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val dots = pairs
+      .join(weights.select(col("id").as("a"), col("token"), col("w").as("wa")), Seq("a"))
+      .join(weights.select(col("id").as("b"), col("token"), col("w").as("wb")), Seq("b", "token"))
+      .groupBy(col("a"), col("b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("a"), col("norm").as("na")), Seq("a"))
+      .join(norms.select(col("id").as("b"), col("norm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), (col("dot") / (col("na") * col("nb"))).as("cos"))
+  }
+}

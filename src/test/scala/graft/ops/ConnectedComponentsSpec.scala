@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def components(edges: Seq[(String, String)]): Map[String, String] =
+    ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("path graph collapses to one component") {
+    val comp = components(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"))
+    assert(comp.values.toSet == Set("a"))
+    assert(comp.keySet == Set("a", "b", "c", "d", "e"))
+  }
+
+  test("two stars stay separate") {
+    val comp = components(Seq("hub1" -> "x1", "hub1" -> "x2", "hub2" -> "y1", "hub2" -> "y2"))
+    assert(comp("x1") == comp("x2") && comp("x1") == comp("hub1"))
+    assert(comp("y1") == comp("y2") && comp("y1") == comp("hub2"))
+    assert(comp("x1") != comp("y1"))
+  }
+
+  test("long chain converges (logarithmic rounds)") {
+    val n = 64
+    val edges = (0 until n - 1).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val comp = components(edges)
+    assert(comp.values.toSet == Set("n000"))
+    assert(comp.size == n)
+  }
+
+  test("self loops and duplicate edges are harmless") {
+    val comp = components(Seq("a" -> "a", "a" -> "b", "b" -> "a", "c" -> "c"))
+    assert(comp.get("a").contains("a") || comp.get("b").contains("a"))
+    assert(comp("b") == "a")
+  }
+}
