@@ -1,24 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times the headline queries on
+  * SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS local threads and prints ONE JSON
+  * line. The knowledge-graph construction pipeline runs end-to-end at a
+  * fixed synthetic corpus size so the triples/sec number is comparable
+  * across rounds. Scaling evidence across two parallelism levels lives in
+  * ScalingBench (results recorded in BENCH/BASELINE.md).
+  */
 object Bench {
+  /** Headline subset: one per operator family (full coverage runs in Verify). */
+  private val headline = Seq(
+    "q_shacl_validate", "q_min_card", "q_or_union", "q_filtered_target_classify",
+    "q_agg_pricing_summary", "q_join_star", "q_window_first_event",
+    "q_stream_window_batch", "q_dedup_exact", "q_dedup_minhash_pairs",
+    "q_dedup_simhash_pairs", "q_ann_bruteforce_topk", "q_ann_lsh_pairs",
+    "q_token_count", "q_text_quality", "q_lang_id")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "6000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      results(name) = time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+    }
+
+    // end-to-end KG construction + validation throughput
+    val kgDir = java.nio.file.Files.createTempDirectory("kg_bench").toString
+    var triples = 0L
+    results("kg_pipeline_e2e") = time {
+      val turns = graft.kg.TranscriptGen.generate(spark, benchConvs, 300).toDF()
+      val res = graft.kg.Pipeline.run(spark, turns, kgDir, validate = true)
+      triples = res.triples.count()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    val tps = if (results("kg_pipeline_e2e") > 0) triples / results("kg_pipeline_e2e") else 0.0
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","kg_triples":$triples,"kg_triples_per_sec":${f"$tps%.1f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

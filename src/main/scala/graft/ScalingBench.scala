@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-parallelism-level scaling evidence (BASELINE.json: "throughput scaling
+  * efficiency ≥ 0.8 from N to 4N executors"; no real cluster in this sandbox,
+  * so the same job runs at local[N] and local[4N] on identical input —
+  * BASELINE.md documents the method).
+  *
+  *   runMain graft.ScalingBench [convs] [N]
+  *
+  * Runs the full construction pipeline (extract → link → canonicalize →
+  * materialize → validate) end-to-end at local[N] and local[4N], prints
+  * throughput at both and efficiency = (thrpt_4N / thrpt_N) / 4.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val convs = if (args.length > 0) args(0).toLong else 40000L
+    val n = if (args.length > 1) args(1).toInt else 8
+
+    def runAt(threads: Int): (Long, Long, Double) = {
+      val spark = SparkSession.builder()
+        .master(s"local[$threads]")
+        .appName(s"graft-scaling-$threads")
+        .config("spark.sql.shuffle.partitions", threads)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val kgDir = java.nio.file.Files.createTempDirectory(s"kg_scale_$threads").toString
+        val turns = graft.kg.TranscriptGen.generate(spark, convs, 300).toDF()
+        val t0 = System.nanoTime()
+        val res = graft.kg.Pipeline.run(spark, turns, kgDir, validate = true)
+        val triples = res.triples.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val turnCount = res.counters.getOrElse("relations", 0L) + res.counters.getOrElse("types", 0L)
+        (triples, turnCount, sec)
+      } finally spark.stop()
+    }
+
+    val (t1, _, sec1) = runAt(n)
+    val (t2, _, sec2) = runAt(4 * n)
+    require(t1 == t2, s"nondeterministic output: $t1 vs $t2 triples")
+    val thr1 = t1 / sec1
+    val thr2 = t2 / sec2
+    val eff = (thr2 / thr1) / 4.0
+    println(f"""{"convs":$convs,"triples":$t1,"local_$n%d_sec":$sec1%.1f,"local_${4 * n}%d_sec":$sec2%.1f,"thrpt_$n%d":$thr1%.1f,"thrpt_${4 * n}%d":$thr2%.1f,"scaling_efficiency":$eff%.3f}""")
+  }
+}

@@ -1,13 +1,393 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.rdf.Rdf
+import graft.shacl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (A1-A14 generated-query semantics, B-side dataflow, plus the
+  * training-data operators), each with an equivalent DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased identically on both sides
+  *  - double aggregates go through DECIMAL casts + ROUND so both engines
+  *    produce bit-identical values regardless of summation order
+  *  - string keys fed to engine-specific hash functions are avoided in
+  *    oracle-checked outputs
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: SHACL-validate a knowledge graph derived from the relational
+    * tables (customers must have ≥1 valid order; orders need ≥5 lineitems). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    shaclValidate(spark, "/root/testdata/sf0.001")
+
+  /** Relational → triple view: the validation engine's input shape. */
+  private def asTriples(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    customer.select(concat(lit("c"), col("c_custkey")).as("subj"),
+        lit(Rdf.rdfType).as("pred"), lit("Customer").as("obj"))
+      .union(orders.select(concat(lit("o"), col("o_orderkey")).as("subj"),
+        lit(Rdf.rdfType).as("pred"), lit("Order").as("obj")))
+      .union(orders.select(concat(lit("c"), col("o_custkey")).as("subj"),
+        lit("hasOrder").as("pred"), concat(lit("o"), col("o_orderkey")).as("obj")))
+      .union(lineitem.select(concat(lit("o"), col("l_orderkey")).as("subj"),
+        lit("hasLine").as("pred"),
+        concat(lit("o"), col("l_orderkey"), lit("l"), col("l_linenumber")).as("obj")))
+  }
+
+  private def shaclValidate(spark: SparkSession, dir: String): DataFrame = {
+    val schema = ShapeSchema(Seq(
+      Shape("CustomerShape", Some("Customer"), None, Some("SELECT ?x WHERE { ?x a <Customer> }"),
+        Seq(CardConstraint("cust_c1", DirectPath("hasOrder"), min = 1,
+          shapeRef = Some("OrderShape"))), Nil, Nil),
+      Shape("OrderShape", Some("Order"), None, Some("SELECT ?x WHERE { ?x a <Order> }"),
+        Seq(CardConstraint("order_c1", DirectPath("hasLine"), min = 5)), Nil, Nil)))
+    val result = new Validator(spark, asTriples(spark, dir), schema).run()
+    Report.verdictFrame(spark, result)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- A: generated-query operator semantics ----------------
+    "q_target_scan" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_custkey").as("focus")).distinct()),
+
+    "q_min_card" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderkey")).as("c"))
+        .filter(col("c") >= 5).select(col("o_custkey").as("focus"))),
+
+    "q_max_card" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderkey")).as("c"))
+        .filter(col("c") >= 10).select(col("o_custkey").as("focus"))),
+
+    "q_has_value" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("focus")).distinct()),
+
+    "q_selective_pushdown" -> ((s, d) => {
+      val targets = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("focus"))
+      targets.join(t(s, d, "orders").select(col("o_custkey").as("focus")),
+        Seq("focus"), "left_semi")
+    }),
+
+    "q_inter_shape_typing" -> ((s, d) => {
+      val typedParts = t(s, d, "part").select(col("p_partkey"))
+      val typedLines = t(s, d, "lineitem")
+        .join(typedParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey").as("focus"))
+      t(s, d, "orders").select(col("o_orderkey").as("focus"))
+        .join(typedLines, Seq("focus"), "left_semi")
+    }),
+
+    "q_sip_broadcast_filter" -> ((s, d) => {
+      val validSuppliers = t(s, d, "supplier").filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey"))
+      t(s, d, "lineitem")
+        .join(broadcast(validSuppliers), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_orderkey").as("focus")).distinct()
+    }),
+
+    "q_filtered_target_classify" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey").as("focus"))
+      val ord = t(s, d, "orders")
+      cust.join(ord, cust("focus") === ord("o_custkey"), "left")
+        .groupBy(col("focus"))
+        .agg(countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey"))).as("cnt"))
+        .select(col("focus"),
+          when(col("cnt") >= 1, lit("pending")).otherwise(lit("invalid")).as("status"))
+    }),
+
+    "q_or_union" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey").as("focus"))
+      val ord = t(s, d, "orders")
+      val minBranch = cust.join(ord, cust("focus") === ord("o_custkey"))
+        .groupBy(col("focus"))
+        .agg(countDistinct(when(col("o_orderstatus") === "O", col("o_orderkey"))).as("c"))
+        .filter(col("c") >= 3).select(col("focus"))
+      val maxBranch = cust.join(ord, cust("focus") === ord("o_custkey"), "left")
+        .groupBy(col("focus"))
+        .agg(countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey"))).as("c"))
+        .filter(col("c") <= 1).select(col("focus"))
+      minBranch.union(maxBranch).distinct()
+    }),
+
+    "q_sparql_constraint_anti" -> ((s, d) => {
+      val violators = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("focus"))
+      t(s, d, "customer").select(col("c_custkey").as("focus"))
+        .join(violators, Seq("focus"), "left_anti")
+    }),
+
+    "q_distinct_projection" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    "q_order_by_limit" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("focus"), col("c_name"))
+        .orderBy(col("focus")).limit(20)),
+
+    "q_shacl_validate" -> ((s, d) => shaclValidate(s, d)),
+
+    // ---------------- B: engine dataflow / relational core ----------------
+    "q_groupby_countdistinct" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          count(lit(1)).as("n"))),
+
+    "q_agg_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(12,2)")), 2).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(14,2)")), 2).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"))),
+
+    "q_join_star" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("order_cnt"))),
+
+    "q_set_except" -> ((s, d) => {
+      val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("focus"))
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("focus"))
+      f.distinct().exceptAll(o.distinct())
+    }),
+
+    "q_scalar_functions" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey").as("focus"),
+        upper(substring(col("c_name"), 1, 8)).as("prefix"),
+        length(col("c_name")).as("name_len"),
+        concat(lit("cust_"), col("c_custkey").cast("string")).as("tag"))),
+
+    "q_window_first_event" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }),
+
+    "q_stream_window_batch" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 4).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))),
+
+    // ---------------- training-data operators ----------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_fingerprint" -> ((s, d) =>
+      Dedup.fingerprint(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id").as("id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_tokens"),
+        size(filter(split(col("text"), "\\s+"), x => length(x) > 0)).as("n_ws_tokens"))),
+
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id").as("id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q_dedup_cc_groups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(format_string("%010d", col("doc_id")).as("node"), md5(col("text")).as("h"))
+      val keeper = docs.groupBy(col("h"))
+        .agg(min(col("node")).as("keeper"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      val edges = docs.join(keeper, "h").filter(col("node") =!= col("keeper"))
+        .select(col("keeper").as("src"), col("node").as("dst"))
+      graft.ops.ConnectedComponents.run(s, edges)
+    }),
+
+    "q_dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minHashNearDupPairs(s, t(s, d, "documents"), "doc_id", "text")
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    "q_dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashNearDupPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_ann_bruteforce_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).map(_.toDouble)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .select(col("id"))
+    }),
+
+    "q_ann_lsh_pairs" -> ((s, d) =>
+      Similarity.embeddingLshPairs(s, t(s, d, "embeddings"), "vec_id", "embedding")
+        .filter(col("cos") >= 0.95)),
+
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.metadata(
+        Multimodal.synthesizePayloads(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("byte_len"))),
+
+    "q_kg_pipeline" -> ((s, d) => {
+      // deterministic micro-corpus; d is unused by design (pure generator)
+      val dir = java.nio.file.Files.createTempDirectory("kg_entry").toString
+      val turns = graft.kg.TranscriptGen.generate(s, 60, 30).toDF()
+      graft.kg.Pipeline.run(s, turns, dir).triples
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_target_scan" ->
+      "SELECT DISTINCT o_custkey AS focus FROM orders",
+
+    "q_min_card" ->
+      "SELECT o_custkey AS focus FROM orders GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderkey) >= 5",
+
+    "q_max_card" ->
+      "SELECT o_custkey AS focus FROM orders GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderkey) >= 10",
+
+    "q_has_value" ->
+      "SELECT DISTINCT o_custkey AS focus FROM orders WHERE o_orderstatus = 'F'",
+
+    "q_selective_pushdown" ->
+      """SELECT c_custkey AS focus FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey IN (SELECT o_custkey FROM orders)""",
+
+    "q_inter_shape_typing" ->
+      """SELECT o_orderkey AS focus FROM orders WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part))""",
+
+    "q_sip_broadcast_filter" ->
+      """SELECT DISTINCT l_orderkey AS focus FROM lineitem
+         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)""",
+
+    "q_filtered_target_classify" ->
+      """SELECT c_custkey AS focus,
+                CASE WHEN COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) >= 1
+                     THEN 'pending' ELSE 'invalid' END AS status
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+
+    "q_or_union" ->
+      """SELECT focus FROM (
+           SELECT c_custkey AS focus FROM customer JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey
+           HAVING COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) >= 3
+           UNION
+           SELECT c_custkey AS focus FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey
+           HAVING COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) <= 1)""",
+
+    "q_sparql_constraint_anti" ->
+      """SELECT c_custkey AS focus FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+
+    "q_distinct_projection" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_order_by_limit" ->
+      "SELECT c_custkey AS focus, c_name FROM customer ORDER BY c_custkey LIMIT 20",
+
+    "q_shacl_validate" ->
+      """WITH valid_orders AS (
+           SELECT l_orderkey AS ok FROM lineitem GROUP BY l_orderkey
+           HAVING COUNT(DISTINCT l_linenumber) >= 5)
+         SELECT 'OrderShape' AS shape, 'o' || o_orderkey AS focus,
+                CASE WHEN o_orderkey IN (SELECT ok FROM valid_orders)
+                     THEN 'valid' ELSE 'violated' END AS verdict
+         FROM orders
+         UNION ALL
+         SELECT 'CustomerShape' AS shape, 'c' || c_custkey AS focus,
+                CASE WHEN c_custkey IN (
+                       SELECT o_custkey FROM orders WHERE o_orderkey IN (SELECT ok FROM valid_orders))
+                     THEN 'valid' ELSE 'violated' END AS verdict
+         FROM customer""",
+
+    "q_groupby_countdistinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_price,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_join_star" ->
+      """SELECT n_name, COUNT(*) AS order_cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q_set_except" ->
+      """SELECT o_custkey AS focus FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey AS focus FROM orders WHERE o_orderstatus = 'O'""",
+
+    "q_scalar_functions" ->
+      """SELECT c_custkey AS focus, UPPER(SUBSTR(c_name, 1, 8)) AS prefix,
+                LENGTH(c_name) AS name_len,
+                'cust_' || CAST(c_custkey AS VARCHAR) AS tag
+         FROM customer""",
+
+    "q_window_first_event" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1""",
+
+    "q_stream_window_batch" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS copies
+         FROM documents GROUP BY md5(text)""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id AS id,
+                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents""",
+
+    "q_token_count" ->
+      """SELECT doc_id AS id,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+                len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_ws_tokens
+         FROM documents""",
+
+    "q_dedup_cc_groups" ->
+      """WITH g AS (
+           SELECT printf('%010d', doc_id) AS node,
+                  MIN(printf('%010d', doc_id)) OVER (PARTITION BY md5(text)) AS component,
+                  COUNT(*) OVER (PARTITION BY md5(text)) AS n
+           FROM documents)
+         SELECT node, component FROM g WHERE n > 1""",
+
+    "q_multimodal_meta" ->
+      "SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len FROM documents",
+
+    "q_ann_bruteforce_topk" ->
+      """SELECT e.vec_id AS id
+         FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+         WHERE e.vec_id <> 0
+         ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id ASC
+         LIMIT 10"""
+  )
 }

@@ -21,9 +21,9 @@ object Extraction {
     "project" -> Universe.clsProject)
 
   private val relPattern =
-    s"^($MentionRe) (${relTriggerToPred.keys.toSeq.sorted.mkString("|")}) ($MentionRe) \\.$$"
+    s"($MentionRe) (${relTriggerToPred.keys.toSeq.sorted.mkString("|")}) ($MentionRe) \\."
   private val typePattern =
-    s"^($MentionRe) is a (${kindWordToClass.keys.toSeq.sorted.mkString("|")}) \\.$$"
+    s"($MentionRe) is a (${kindWordToClass.keys.toSeq.sorted.mkString("|")}) \\."
 
   private def mapLit(m: Map[String, String]) =
     map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)

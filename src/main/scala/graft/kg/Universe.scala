@@ -75,28 +75,45 @@ object Universe {
     def project(seed: Long): Int = 3 * pick(seed, nPer) + 2
     def alias(k: Int, seed: Long): String = { val a = aliases(k); a(pick(seed, a.size)) }
 
+    // lowercase context padding around the fact sentence — realistic turn
+    // lengths (hundreds of chars), never capitalized so it yields no mentions
+    def padding(seed: Long, clauses: Int): String = {
+      val parts = Vector(
+        "let me look into the details of that request",
+        "based on the earlier context in this conversation",
+        "running the analysis tool against the latest snapshot",
+        "the results from the previous step were inconclusive",
+        "summarizing what we have gathered so far for the report",
+        "please double check the assumptions before we proceed",
+        "the relevant documentation section was updated recently",
+        "considering the constraints mentioned in the ticket")
+      (0 until clauses).map(i => parts(pick(mix64(seed + i), parts.size))).mkString(", ") + " ."
+    }
+    val pre = padding(mix64(h + 11), 1 + pick(mix64(h + 13), 3))
+    val post = padding(mix64(h + 17), 1 + pick(mix64(h + 19), 3))
+
     val form = pick(h, 6)
     form match {
       case 0 =>
         val s = person(mix64(h + 1)); val o = org(mix64(h + 2))
-        Turn(role, s"${alias(s, mix64(h + 3))} works at ${alias(o, mix64(h + 4))} .", tool,
+        Turn(role, s"$pre ${alias(s, mix64(h + 3))} works at ${alias(o, mix64(h + 4))} . $post", tool,
           Some((iri(s), relWorksAt, iri(o))))
       case 1 =>
         val s = person(mix64(h + 1))
         var o = person(mix64(h + 2))
         if (o == s) o = (o + 3) % e
-        Turn(role, s"${alias(s, mix64(h + 3))} collaborates with ${alias(o, mix64(h + 4))} .", tool,
+        Turn(role, s"$pre ${alias(s, mix64(h + 3))} collaborates with ${alias(o, mix64(h + 4))} . $post", tool,
           Some((iri(s), relCollab, iri(o))))
       case 2 =>
         val s = person(mix64(h + 1)); val o = project(mix64(h + 2))
-        Turn(role, s"${alias(s, mix64(h + 3))} contributes to ${alias(o, mix64(h + 4))} .", tool,
+        Turn(role, s"$pre ${alias(s, mix64(h + 3))} contributes to ${alias(o, mix64(h + 4))} . $post", tool,
           Some((iri(s), relContrib, iri(o))))
       case 3 =>
         val k = pick(mix64(h + 1), e)
         val kindWord = (k % 3) match {
           case 0 => "person"; case 1 => "organization"; case _ => "project"
         }
-        Turn(role, s"${alias(k, mix64(h + 3))} is a $kindWord .", tool,
+        Turn(role, s"$pre ${alias(k, mix64(h + 3))} is a $kindWord . $post", tool,
           Some((iri(k), rdfType, kind(k))))
       case _ =>
         // filler — all lowercase, so no mentions are extracted
@@ -105,7 +122,7 @@ object Universe {
           "running the requested command now and waiting for results .",
           "the quick brown fox jumps over the lazy dog .",
           "let me check the previous conversation turns for context .")
-        Turn(role, fillers(pick(mix64(h + 5), fillers.size)), tool, None)
+        Turn(role, s"$pre ${fillers(pick(mix64(h + 5), fillers.size))} $post", tool, None)
     }
   }
 

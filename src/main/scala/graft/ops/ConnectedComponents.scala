@@ -26,15 +26,23 @@ object ConnectedComponents {
     val src = edges.columns(0)
     val dst = edges.columns(1)
 
-    // symmetric, loop-free edge list
-    var e = edges.select(col(src).as("u"), col(dst).as("v"))
-      .union(edges.select(col(dst).as("u"), col(src).as("v")))
-      .filter($"u" =!= $"v")
-      .distinct()
+    // Symmetric, loop-free edge list. Symmetrization uses explode over both
+    // orientations in ONE pass — a self-union of the same plan with swapped
+    // aliases would both scan twice and trip Catalyst's union constraint
+    // rewriting (duplicate attribute ids across branches).
+    def symmetrize(g: DataFrame): DataFrame =
+      g.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+
+    var e = symmetrize(edges.select(col(src).as("u"), col(dst).as("v")))
       .localCheckpoint(true)
 
     def largeStar(g: DataFrame): DataFrame = {
-      val sym = g.select($"u", $"v").union(g.select($"v".as("u"), $"u".as("v"))).distinct()
+      val sym = symmetrize(g)
       val m = sym.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"mn", $"u").as("m"))
       sym.join(m, "u")
@@ -66,8 +74,10 @@ object ConnectedComponents {
       sig = s
     }
     // fixed point is a star graph: (node, componentMin)
-    e.select($"u".as("node"), $"v".as("component"))
-      .union(e.select($"v".as("node"), $"v".as("component")))
+    e.select(explode(array(
+        struct($"u".as("node"), $"v".as("component")),
+        struct($"v".as("node"), $"v".as("component")))).as("x"))
+      .select($"x.node".as("node"), $"x.component".as("component"))
       .groupBy($"node").agg(min($"component").as("component"))
   }
 

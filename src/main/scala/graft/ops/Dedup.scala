@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over any
+  * (id, text) shaped input. All variants are expressed with codegen'd Spark
+  * SQL functions; the quadratic stages only ever run inside LSH buckets or
+  * candidate pair sets, never on the full corpus.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text, keeping the
+    * smallest id (deterministic winner). The groupBy key is md5(text), so
+    * hot/duplicate-heavy content spreads by hash — no skew on the id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
+
+  /** Canonical-text fingerprint (lower-case, collapsed whitespace, md5) —
+    * catches trivially-reformatted duplicates. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("fingerprint"))
+
+  /** MinHash-LSH near-duplicate pairs over character shingles:
+    * shingle → minhash signature → banded LSH buckets → bucket-local pairs →
+    * exact Jaccard verification on the candidates only.
+    * @return DataFrame(a, b, jaccard) with jaccard >= threshold, a < b */
+  def minHashNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 5, numHashes: Int = 16, rowsPerBand: Int = 4,
+                          threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame = {
+    val sh = TextSim.charShingles(df, idCol, textCol, shingleSize).localCheckpoint(true)
+    val sig = TextSim.minHashSignatures(sh, numHashes)
+    val cand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
+    jaccardOnPairs(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard over shingle sets for given candidate pairs. */
+  def jaccardOnPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingles.select(col("id").as("a"), col("token")), Seq("a"))
+      .join(shingles.select(col("id").as("b"), col("token")), Seq("b", "token"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("both"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("sz").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("both") / (col("sa") + col("sb") - col("both"))).as("jaccard"))
+  }
+
+  /** Word n-gram Jaccard near-dup pairs — same machinery, token shingles. */
+  def ngramJaccardPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                        threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("w"))
+    val grams = words.select(col("id"),
+        explode(transform(sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("token"))
+      .filter(length(col("token")) > 0).distinct().localCheckpoint(true)
+    val sig = TextSim.minHashSignatures(grams, numHashes)
+    val cand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
+    jaccardOnPairs(cand, grams).filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: sign-sum of per-token hash bits weighted by
+    * token frequency — near-dups have small Hamming distance. Computed with
+    * an explode + 64-way conditional aggregation (no UDF). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)).as("token"))
+    val hashed = tok.withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = hashed.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit bands of the simhash (a pair
+    * within Hamming distance 3 shares at least one of 4 bands), then verify
+    * with exact Hamming distance via bit_count(xor). */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(df, idCol, textCol).localCheckpoint(true)
+    val bandKeys = (0 until 4).map { b =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+    }
+    val bands = sh.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    cand
+      .join(sh.select(col("id").as("a"), col("simhash").as("ha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("simhash").as("hb")), Seq("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold over LSH buckets
+    * from random-hyperplane signs (see Similarity.embeddingLshPairs). */
+  def embeddingNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.98): DataFrame =
+    Similarity.embeddingLshPairs(spark, df, idCol, vecCol)
+      .filter(col("cos") >= threshold)
+}

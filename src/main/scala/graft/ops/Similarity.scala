@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>` /
+  * `array<double>`). Brute-force cosine top-k is the exact baseline; the
+  * scale path blocks with random-hyperplane LSH (sign sketches) so only
+  * bucket-local pairs are scored.
+  *
+  * All vector math uses `zip_with` + `aggregate` higher-order functions —
+  * evaluated inside codegen, no UDFs, vectors never leave the executor.
+  */
+object Similarity {
+
+  /** dot(a, b) over two array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine against one query vector.
+    * One scan + one top-k sort — the correctness baseline.
+    * @return (id, cos) ordered by cos desc, id asc (deterministic ties) */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), asc("id"))
+      .limit(k)
+  }
+
+  /** Exact k-NN for EVERY row of `queries` against `corpus` — the
+    * distributed batch form: broadcast the smaller side, rank per query with
+    * a window, keep top-k. */
+  def crossTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(broadcast(c))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane sign sketch: bit i = sign(dot(v, h_i)) where h_i is a
+    * deterministic pseudo-random hyperplane derived from (i, dimension index)
+    * via xxhash64 — reproducible across runs with no stored model. */
+  def signSketch(vecCol: Column, bits: Int): Column = {
+    val planes = (0 until bits).map { i =>
+      // component j of hyperplane i ∈ {-1,+1}: parity of xxhash64(i, j)
+      val comp = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1), (x, j) =>
+          x.cast("double") * when(pmod(xxhash64(lit(i), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(comp > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-blocked candidate scoring: ids sharing a sign-sketch band get their
+    * exact cosine computed. @return (a, b, cos) with a < b */
+  def embeddingLshPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+                        bits: Int = 16, bandBits: Int = 4, bucketCap: Int = 2000): DataFrame = {
+    val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sketch", signSketch(col("v"), bits))
+      .localCheckpoint(true)
+    val bandKeys = (0 until bits / bandBits).map { b =>
+      shiftrightunsigned(col("sketch"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+    }
+    val bands = sk.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
+    val capped = bands
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("sz") <= bucketCap).drop("sz")
+    val cand = capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    cand
+      .join(sk.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(sk.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+  }
+
+  /** IVF-style ANN against one query: assign vectors to nProbe nearest of
+    * nCentroids deterministic centroids (sampled rows), search only those
+    * cells. Returns approximate top-k (id, cos). */
+  def ivfTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
+    // deterministic "centroids": first nCentroids rows by id
+    val centroids = data.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("centId"), col("v").as("cv")).collect()
+      .map(r => (r.get(0), r.getSeq[Any](1).map(x => x.toString.toDouble)))
+    val centArr = centroids.map { case (cid, v) =>
+      struct(lit(cid.toString).as("cid"), array(v.map(lit): _*).as("cv"))
+    }
+    val centCol = array(centArr: _*)
+    // assign: per row, the nProbe centroids with max cosine
+    val assigned = data.withColumn("cells",
+      slice(reverse(array_sort(transform(centCol, c =>
+        struct(cosine(col("v"), c.getField("cv")).as("cos"), c.getField("cid").as("cid"))))), 1, nProbe))
+      .select(col("id"), col("v"), explode(col("cells.cid")).as("cell"))
+    val q = array(query.map(lit): _*)
+    val qCells = centroids.map { case (cid, v) =>
+      (cid.toString, Similarity.cosSeq(v, query))
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSet
+    assigned.filter(col("cell").isin(qCells.toSeq: _*))
+      .select(col("id"), cosine(col("v"), q).as("cos")).distinct()
+      .orderBy(desc("cos"), asc("id")).limit(k)
+  }
+
+  private[ops] def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+}

@@ -41,14 +41,16 @@ object TextSim {
 
   /** LSH banding over a MinHash signature frame: emits (id, band, key) where
     * `key` hashes `rowsPerBand` consecutive signature slots. Ids sharing a
-    * (band, key) are candidate pairs. */
+    * (band, key) are candidate pairs. All bands come from ONE posexplode pass
+    * (a per-band union would rescan the signatures b times). */
   def lshBands(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = k / rowsPerBand
-    val frames = (0 until bands).map { b =>
+    val keys = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      sig.select(col("id"), lit(b).as("band"), xxhash64(cols: _*).as("key"))
+      xxhash64(cols: _*)
     }
-    frames.reduce(_ union _)
+    sig.select(col("id"), posexplode(array(keys: _*)))
+      .toDF("id", "band", "key")
   }
 
   /** Candidate pairs (a, b) with a < b from LSH buckets. `bucketCap` guards
