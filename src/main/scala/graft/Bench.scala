@@ -39,7 +39,25 @@ object Bench {
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
       results(name) = time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      spark.catalog.clearCache() // isolate per-query cache footprints
     }
+
+    // true Structured Streaming run: events parquet as a file stream →
+    // watermarked windowed aggregation → memory sink
+    results("streaming_window_e2e") = time {
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(sfDir)
+        // parquet written without tz metadata infers TIMESTAMP_NTZ; event
+        // time (watermark) requires LTZ — session tz is UTC, cast is exact
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      val q = graft.streaming.EventStream.runToMemory(spark,
+        graft.streaming.EventStream.windowedCounts(stream), s"bench_win_$cpus")
+      q.stop()
+    }
+    spark.catalog.clearCache()
 
     // end-to-end KG construction + validation throughput
     val kgDir = java.nio.file.Files.createTempDirectory("kg_bench").toString

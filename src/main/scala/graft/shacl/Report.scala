@@ -64,8 +64,9 @@ object Report {
 
   def statsText(result: ValidationResult): String = {
     val counts = result.verdicts.toSeq.sortBy(_._1).map { case (id, v) =>
-      s"$id: targets=${result.stats.targetCounts.getOrElse(id, 0L)} " +
-        s"valid=${v.validFinal.count()} violated=${v.invalid.count()}"
+      val valid = v.validFinal.count()
+      val violated = v.invalid.count()
+      s"$id: targets=${valid + violated} valid=$valid violated=$violated"
     }
     (counts :+
       s"sccs: ${result.stats.sccCount} (cyclic: ${result.stats.cyclicSccCount})" :+

@@ -36,7 +36,6 @@ final case class ValidationResult(
 }
 
 final class ValidationStats {
-  var targetCounts: Map[String, Long] = Map.empty
   var fixpointIterations: Int = 0
   var sccCount: Int = 0
   var cyclicSccCount: Int = 0
@@ -170,12 +169,19 @@ final class Validator(
 
   def run(): ValidationResult = {
     val nodeOrder = Traversal.plan(schema, config.traversal, config.heuristics)
+    val cyclicIds: Set[String] =
+      schema.sccsInEvaluationOrder.filter(schema.isCyclic).flatten.toSet
+
+    /** Shapes inside a cyclic SCC get eager checkpoints (their artifacts are
+      * re-joined every fixpoint round and the growing lineage must be cut);
+      * acyclic shapes stay LAZY — one Catalyst plan per shape, materialized
+      * only when a parent or the final report consumes it. */
+    def pin(id: String, df: DataFrame): DataFrame =
+      if (cyclicIds.contains(id)) df.localCheckpoint(true) else df.persist()
 
     // Static per-shape artifacts
     val targets: Map[String, DataFrame] = schema.shapes.map { s =>
-      val t = targetsOf(s).localCheckpoint(true)
-      stats.targetCounts += s.id -> t.count()
-      s.id -> t
+      s.id -> pin(s.id, targetsOf(s))
     }.toMap
 
     val invalid0: Map[String, DataFrame] = schema.shapes.map { s =>
@@ -184,8 +190,7 @@ final class Validator(
         .union(orInvalid(s, t))
         .union(sparqlInvalid(s, t))
         .distinct()
-        .localCheckpoint(true)
-      s.id -> inv
+      s.id -> pin(s.id, inv)
     }.toMap
 
     // ref-constraint edge sets, computed once (joined against evolving verdicts)
@@ -193,16 +198,16 @@ final class Validator(
       s.id -> s.minConstraints.filter(_.shapeRef.isDefined).map { c =>
         val r = c.shapeRef.get
         val e = refEdges(c, targets.getOrElse(r, emptyFocus()))
-          .join(targets(s.id), Seq("focus"), "left_semi").localCheckpoint(true)
-        (c, e)
+          .join(targets(s.id), Seq("focus"), "left_semi").distinct()
+        (c, pin(s.id, e))
       }
     }.toMap
     val refMaxEdges: Map[String, Seq[(CardConstraint, DataFrame)]] = schema.shapes.map { s =>
       s.id -> s.activeMaxConstraints.filter(_.shapeRef.isDefined).map { c =>
         val r = c.shapeRef.get
         val e = refEdges(c, targets.getOrElse(r, emptyFocus()))
-          .join(targets(s.id), Seq("focus"), "left_semi").localCheckpoint(true)
-        (c, e)
+          .join(targets(s.id), Seq("focus"), "left_semi").distinct()
+        (c, pin(s.id, e))
       }
     }.toMap
     // Skipped max queries: bound enforced over the min constraints' paths
@@ -213,8 +218,8 @@ final class Validator(
         val minPaths = s.minConstraints.filter(_.shapeRef.contains(refShape))
         val e = minPaths.map(c => refEdges(c, targets.getOrElse(refShape, emptyFocus())))
           .reduceOption(_ union _).getOrElse(emptyFocus().withColumn("o", lit("")))
-          .join(targets(s.id), Seq("focus"), "left_semi").distinct().localCheckpoint(true)
-        (refShape, bound, e)
+          .join(targets(s.id), Seq("focus"), "left_semi").distinct()
+        (refShape, bound, pin(s.id, e))
       }
     }.toMap
 
@@ -234,9 +239,12 @@ final class Validator(
       val tConds = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
       var idx = 0
 
-      def joinStats(c: CardConstraint, edges: DataFrame, refId: String): (String, String) = {
+      /** One shuffle per ref constraint: left-join the referenced shape's
+        * T/F verdict sets onto the typed edges and aggregate cntT, cntF and
+        * the total typed-object count together. nonF = tot - cntF. */
+      def joinStats(edges: DataFrame, refId: String): (String, String, String) = {
         idx += 1
-        val (tc, fc) = (s"cntT$idx", s"cntF$idx")
+        val (tc, fc, tot) = (s"cntT$idx", s"cntF$idx", s"tot$idx")
         val tSet = curT(refId).withColumnRenamed("focus", "o").withColumn("__t", lit(true))
         val fSet = state.get(refId).map(_.invalid).getOrElse(emptyFocus())
           .withColumnRenamed("focus", "o").withColumn("__f", lit(true))
@@ -244,45 +252,38 @@ final class Validator(
           .join(tSet, Seq("o"), "left")
           .join(fSet, Seq("o"), "left")
           .groupBy($"focus").agg(
-            countDistinct(when($"__t", $"o")).as(tc),
-            countDistinct(when($"__f", $"o")).as(fc))
+            // edges are distinct (focus, o) pairs, so plain conditional
+            // counts suffice — avoids the multi-countDistinct expand plan
+            count(when($"__t", $"o")).as(tc),
+            count(when($"__f", $"o")).as(fc),
+            count($"o").as(tot))
         cur = cur.join(st, Seq("focus"), "left")
-        (tc, fc)
-      }
-
-      // total typed object counts are static; nonF = total - cntF
-      def totalCol(edges: DataFrame): String = {
-        idx += 1
-        val n = s"tot$idx"
-        val tot = edges.groupBy($"focus").agg(countDistinct($"o").as(n))
-        cur = cur.join(tot, Seq("focus"), "left")
-        n
+        (tc, fc, tot)
       }
 
       refMinEdges(s.id).foreach { case (c, e) =>
-        val tot = totalCol(e)
-        val (tc, fc) = joinStats(c, e, c.shapeRef.get)
+        val (tc, fc, tot) = joinStats(e, c.shapeRef.get)
         val nonF = coalesce(col(tot), lit(0L)) - coalesce(col(fc), lit(0L))
         fConds += (nonF < c.min)
         tConds += (coalesce(col(tc), lit(0L)) >= c.min)
       }
       refMaxEdges(s.id).foreach { case (c, e) =>
-        val tot = totalCol(e)
-        val (tc, fc) = joinStats(c, e, c.shapeRef.get)
+        val (tc, fc, tot) = joinStats(e, c.shapeRef.get)
         val nonF = coalesce(col(tot), lit(0L)) - coalesce(col(fc), lit(0L))
         fConds += (coalesce(col(tc), lit(0L)) >= c.max + 1)
         tConds += (nonF <= c.max)
       }
       skippedMaxEdges(s.id).foreach { case (refShape, bound, e) =>
-        val (tc, _) = joinStats(CardConstraint("skip", DirectPath("")), e, refShape)
+        val (tc, _, _) = joinStats(e, refShape)
         fConds += (coalesce(col(tc), lit(0L)) > bound)
       }
 
       val isF = fConds.reduceOption(_ || _).getOrElse(lit(false))
       val isT = !isF && tConds.reduceOption(_ && _).getOrElse(lit(true))
 
-      val marked = cur.withColumn("__isF", isF).withColumn("__isT", isT)
-        .select($"focus", $"__isF", $"__isT").localCheckpoint(true)
+      var marked = cur.withColumn("__isF", isF).withColumn("__isT", isT)
+        .select($"focus", $"__isF", $"__isT")
+      if (cyclicIds.contains(s.id)) marked = marked.localCheckpoint(true)
       val newInvalid = inv0.union(marked.filter($"__isF").select($"focus")).distinct()
       val newStrict = marked.filter($"__isT").select($"focus")
       (newStrict, newInvalid)
@@ -294,8 +295,7 @@ final class Validator(
       if (!schema.isCyclic(scc)) {
         val s = schema.byId(scc.head)
         val (strict, inv) = evalShape(s)
-        state(s.id) = ShapeVerdict(targets(s.id),
-          strict.localCheckpoint(true), inv.localCheckpoint(true))
+        state(s.id) = ShapeVerdict(targets(s.id), pin(s.id, strict), pin(s.id, inv))
       } else {
         stats.cyclicSccCount += 1
         // 3-valued fixpoint: T and F grow monotonically from (∅, invalid0);

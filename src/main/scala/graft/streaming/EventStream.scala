@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the `events` stream shape
+  * `(event_id, ts, user_id, event_type, value, props)`.
+  *
+  * The reference has NO streaming surface (SURVEY.md §2.C); these operators
+  * extend the engine for continuous ingestion of transcript/event feeds:
+  * watermarked tumbling-window aggregation, streaming dedup, and custom
+  * sessionization state via mapGroupsWithState. Each streaming transform has
+  * a batch-equivalent used by the DuckDB oracle (q_stream_window_batch).
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window aggregation — the canonical streaming agg.
+    * Late rows beyond `watermark` are dropped; state is bounded. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 4).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionInput(user_id: Long, ts: Timestamp)
+  final case class SessionUpdate(user_id: Long, events: Long, sessions: Long)
+  final case class SessionState(events: Long, sessions: Long, lastTs: Long)
+
+  /** Custom per-key state: counts events and 30-minute-gap sessions per user
+    * (KeyValueGroupedDataset.mapGroupsWithState with processing-time
+    * timeout — the engine's arbitrary-stateful-operator surface). */
+  def sessionize(spark: SparkSession, events: Dataset[SessionInput]): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0, 0, Long.MinValue))
+          sorted.foreach { r =>
+            val t = r.ts.getTime
+            val newSession = st.lastTs == Long.MinValue || t - st.lastTs > gapMs
+            st = SessionState(st.events + 1, st.sessions + (if (newSession) 1 else 0), t)
+          }
+          state.update(st)
+          SessionUpdate(user, st.events, st.sessions)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink (used by
+    * tests; production would write to a real sink with checkpointing). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Update()): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

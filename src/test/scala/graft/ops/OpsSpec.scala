@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog."),
+    (2L, "The quick brown fox jumps over the lazy dog."), // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy cat."), // near dup of 1
+    (4L, "Der schnelle braune Fuchs springt und der Hund ist faul und das ist gut."),
+    (5L, "Le renard brun et rapide saute et le chien est paresseux."),
+    (6L, "completely unrelated text about spark dataframes and shuffles."),
+    (7L, "  the   QUICK brown fox jumps over the lazy dog.  ") // fingerprint dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+    val dupGroup = d.find(_.getLong(2) == 2L)
+    assert(dupGroup.exists(_.getLong(1) == 1L)) // keeper is min id
+    assert(d.length == 6)
+  }
+
+  test("fingerprint catches case/whitespace variants") {
+    val f = Dedup.fingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f(1L) == f(7L))
+    assert(f(1L) != f(3L))
+  }
+
+  test("minhash near-dup pairs find the near duplicate") {
+    val pairs = Dedup.minHashNearDupPairs(spark, docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L)) // identical text, identical simhash
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(6L)))
+  }
+
+  test("ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(spark, docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("brute force cosine topk is exact and deterministic") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)), (3L, Seq(0.7f, 0.7f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" =!= 0), "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), 2).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 3L))
+  }
+
+  test("embedding LSH pairs include the close pair") {
+    val vecs = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.3f, 0.1f) else Seq(0.0f, 1.0f, -0.4f, 0.2f)
+      (i.toLong, base.map(_ + (i % 7) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingLshPairs(spark, vecs, "vec_id", "embedding")
+      .filter($"cos" >= 0.99).collect()
+    assert(pairs.nonEmpty)
+    // all high-cos pairs connect same-parity ids (same base direction)
+    assert(pairs.forall(r => (r.getLong(0) - r.getLong(1)) % 2 == 0))
+  }
+
+  test("language id heuristic") {
+    val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(4L) == "de")
+    assert(out(5L) == "fr")
+  }
+
+  test("quality features and token counts") {
+    val q = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Int]("n_tokens") == 9)
+    assert(q(1L).getAs[Double]("alpha_ratio") > 0.7)
+    val tc = docs.select($"doc_id", TextAnalysis.tokenCount($"text").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tc(1L) == 10) // 9 words + final period
+  }
+
+  test("multimodal decode stub plumbing") {
+    val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
+    import spark.implicits._
+    val features = Multimodal.decodeStub(spark, media.as[Multimodal.MediaRow])
+    val rows = features.collect()
+    assert(rows.length == 7)
+    assert(rows.forall(f => f.byte_len > 0 && f.width >= 16 && f.brightness > 0))
+    // identical payloads → identical features
+    val byId = rows.map(f => f.media_id -> f).toMap
+    assert(byId(1L).checksum == byId(2L).checksum)
+    val frames = Multimodal.sampleFrames(features, everyNth = 10)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx"))
+    // deterministic: every video yields ceil(n_frames/10) sampled frames
+    val vids = rows.filter(_.media_type == "video")
+    assert(frames.count() == vids.map(v => (v.n_frames + 9) / 10).sum)
+  }
+
+  test("ivf ann returns plausible approximate neighbors") {
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Seq.tabulate(8)(j => math.sin(3 * 0.7 + j))
+    val approx = Similarity.ivfTopK(spark, vecs, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert((approx & exact).nonEmpty) // approximate, but overlapping the truth
+  }
+}
