@@ -372,6 +372,50 @@ object SparkEntry {
                 len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_ws_tokens
          FROM documents""",
 
+    "q_text_quality" ->
+      """WITH f AS (
+           SELECT doc_id AS id,
+                  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+                  length(text) AS n_chars,
+                  length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS alpha_chars,
+                  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars
+           FROM documents),
+         r AS (
+           SELECT id, n_tokens, n_chars,
+                  CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mwl,
+                  CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END AS ar,
+                  CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END AS pr
+           FROM f)
+         SELECT id, n_tokens, n_chars,
+                ROUND(mwl, 4) AS mean_word_len,
+                ROUND(ar, 4) AS alpha_ratio,
+                ROUND(pr, 4) AS punct_ratio,
+                ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.25 ELSE 0.0 END) +
+                      (CASE WHEN mwl BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+                      (CASE WHEN ar >= 0.6 THEN 0.25 ELSE 0.0 END) +
+                      (CASE WHEN pr <= 0.1 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+         FROM r""",
+
+    "q_lang_id" ->
+      """WITH w AS (
+           SELECT doc_id AS id,
+                  list_filter(string_split_regex(lower(text), '[^a-zà-ÿ]+'), x -> len(x) > 0) AS words
+           FROM documents),
+         c AS (
+           SELECT id,
+                  len(list_filter(words, x -> x IN ('the','and','of','to','is'))) AS c_en,
+                  len(list_filter(words, x -> x IN ('der','und','die','das','ist'))) AS c_de,
+                  len(list_filter(words, x -> x IN ('le','et','la','les','est'))) AS c_fr,
+                  len(list_filter(words, x -> x IN ('el','y','la','los','es'))) AS c_es
+           FROM w)
+         SELECT id,
+                CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                     WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                     WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                     WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+                     ELSE 'und' END AS lang_pred
+         FROM c""",
+
     "q_dedup_cc_groups" ->
       """WITH g AS (
            SELECT printf('%010d', doc_id) AS node,

@@ -29,13 +29,12 @@ object EntityLinker {
   def link(spark: SparkSession, surfaces: DataFrame,
            params: LinkerParams = LinkerParams()): DataFrame = {
     val inCol = surfaces.columns(0)
-    val distinctSurfaces = surfaces.select(col(inCol).as("surface")).distinct()
-      .localCheckpoint(true)
+    val distinctSurfaces = surfaces.select(col(inCol).as("surface")).distinct().cache()
     val n = distinctSurfaces.count()
 
     val tok = TextSim.tokens(
       distinctSurfaces.select(col("surface").as("id"), col("surface").as("text")),
-      "id", "text", params.minTokenLen).localCheckpoint(true)
+      "id", "text", params.minTokenLen).cache()
 
     // MinHash-LSH blocking (bands of 1 row: candidate iff ANY min-hash
     // collides; with k=12 a Jaccard-1/3 alias pair is missed with p≈(2/3)^12)

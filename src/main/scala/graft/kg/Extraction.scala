@@ -25,6 +25,13 @@ object Extraction {
   private val typePattern =
     s"($MentionRe) is a (${kindWordToClass.keys.toSeq.sorted.mkString("|")}) \\."
 
+  /** One combined pattern so relation and type facts come from a single
+    * regex pass over the corpus — the transcript scan is the dominant
+    * data-volume stage and must not run twice. */
+  private val factPattern =
+    s"($MentionRe) (${(relTriggerToPred.keys.toSeq :+ "is a").sorted.mkString("|")}) " +
+      s"($MentionRe|${kindWordToClass.keys.toSeq.sorted.mkString("|")}) \\."
+
   private def mapLit(m: Map[String, String]) =
     map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
 
@@ -33,24 +40,30 @@ object Extraction {
     turns.select(col("conv_id"), col("turn_idx"),
       explode(regexp_extract_all(col("text"), lit(MentionRe), lit(0))).as("surface"))
 
-  /** Binary relations: (conv_id, turn_idx, subjSurface, pred, objSurface).
-    * One regexp pass; the trigger word maps to the predicate IRI through a
-    * literal map — everything stays inside whole-stage codegen. */
-  def relations(turns: DataFrame): DataFrame =
+  /** Unified fact extraction in ONE corpus pass:
+    * (conv_id, turn_idx, subjSurface, pred, objSurface, cls).
+    * Relation rows carry (pred, objSurface); type rows carry pred=rdf:type
+    * and the class IRI in `cls`. Trigger/kind words map to IRIs through
+    * literal maps — everything stays inside whole-stage codegen. */
+  def facts(turns: DataFrame): DataFrame =
     turns.select(col("conv_id"), col("turn_idx"),
-        regexp_extract(col("text"), relPattern, 1).as("subjSurface"),
-        regexp_extract(col("text"), relPattern, 2).as("trigger"),
-        regexp_extract(col("text"), relPattern, 3).as("objSurface"))
+        regexp_extract(col("text"), factPattern, 1).as("subjSurface"),
+        regexp_extract(col("text"), factPattern, 2).as("trigger"),
+        regexp_extract(col("text"), factPattern, 3).as("objRaw"))
       .filter(col("subjSurface") =!= "")
-      .withColumn("pred", element_at(mapLit(relTriggerToPred), col("trigger")))
-      .drop("trigger")
+      .select(col("conv_id"), col("turn_idx"), col("subjSurface"),
+        when(col("trigger") === "is a", lit(graft.rdf.Rdf.rdfType))
+          .otherwise(element_at(mapLit(relTriggerToPred), col("trigger"))).as("pred"),
+        when(col("trigger") =!= "is a", col("objRaw")).as("objSurface"),
+        when(col("trigger") === "is a", element_at(mapLit(kindWordToClass), col("objRaw"))).as("cls"))
 
-  /** rdf:type assertions: (conv_id, turn_idx, subjSurface, cls). */
+  /** Binary relations view over `facts`. */
+  def relations(turns: DataFrame): DataFrame =
+    facts(turns).filter(col("pred") =!= graft.rdf.Rdf.rdfType)
+      .select(col("conv_id"), col("turn_idx"), col("subjSurface"), col("pred"), col("objSurface"))
+
+  /** rdf:type assertion view over `facts`. */
   def typeAssertions(turns: DataFrame): DataFrame =
-    turns.select(col("conv_id"), col("turn_idx"),
-        regexp_extract(col("text"), typePattern, 1).as("subjSurface"),
-        regexp_extract(col("text"), typePattern, 2).as("kindWord"))
-      .filter(col("subjSurface") =!= "")
-      .withColumn("cls", element_at(mapLit(kindWordToClass), col("kindWord")))
-      .drop("kindWord")
+    facts(turns).filter(col("pred") === graft.rdf.Rdf.rdfType)
+      .select(col("conv_id"), col("turn_idx"), col("subjSurface"), col("cls"))
 }

@@ -43,31 +43,62 @@ object Pipeline {
           linker: EntityLinker.LinkerParams = EntityLinker.LinkerParams()): Result = {
     val ckpt = new StageCheckpoint(spark, workDir)
 
-    val relations = ckpt.stage("relations") { Extraction.relations(turns) }
-    val types = ckpt.stage("types") { Extraction.typeAssertions(turns) }
+    // ONE pass over the corpus extracts relation AND type facts together —
+    // the transcript scan dominates data volume and must not run twice.
+    val facts = ckpt.stage("facts") { Extraction.facts(turns) }
 
     val surfaces = ckpt.stage("surfaces") {
-      relations.select(col("subjSurface").as("surface"))
-        .union(relations.select(col("objSurface").as("surface")))
-        .union(types.select(col("subjSurface").as("surface")))
+      facts.select(col("subjSurface").as("surface"))
+        .union(facts.filter(col("objSurface").isNotNull)
+          .select(col("objSurface").as("surface")))
         .distinct()
     }
 
     val links = ckpt.stage("links") { EntityLinker.link(spark, surfaces, linker) }
 
     val triples = ckpt.stage("triples") {
-      val subjLink = links.select(col("surface").as("subjSurface"), col("canonical").as("subjCanon"))
-      val objLink = links.select(col("surface").as("objSurface"), col("canonical").as("objCanon"))
-      val relTriples = relations
-        .join(subjLink, Seq("subjSurface"))
-        .join(objLink, Seq("objSurface"))
-        .select(surfaceToIri(col("subjCanon")).as("subj"), col("pred"),
-          surfaceToIri(col("objCanon")).as("obj"))
-      val typeTriples = types
-        .join(subjLink, Seq("subjSurface"))
-        .select(surfaceToIri(col("subjCanon")).as("subj"), lit(Rdf.rdfType).as("pred"),
-          col("cls").as("obj"))
-      relTriples.union(typeTriples).distinct()
+      // Dictionary-encode entities and predicates BEFORE the corpus-wide
+      // distinct: the dedup shuffle then moves (int, byte-sized pred id,
+      // int) rows instead of ~150-byte IRI strings — an order of magnitude
+      // less shuffle volume, and integer hashing instead of string hashing.
+      import org.apache.spark.sql.expressions.Window
+      val dict = links.select(col("canonical")).distinct()
+        .withColumn("eid", row_number().over(Window.orderBy(col("canonical"))))
+      val sLink = broadcast(links.join(dict, "canonical")
+        .select(col("surface").as("subjSurface"), col("eid").as("sid")))
+      val oLink = broadcast(links.join(dict, "canonical")
+        .select(col("surface").as("objSurface"), col("eid").as("oid")))
+      // objects of type facts are class IRIs, not surfaces: give the three
+      // classes fixed negative ids so they share the integer dictionary
+      val classes = Seq(Universe.clsPerson, Universe.clsOrg, Universe.clsProject)
+      val clsId = map(classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(c), lit(-(i + 1))) }: _*)
+      val preds = Seq(Rdf.rdfType, Universe.relWorksAt, Universe.relCollab, Universe.relContrib)
+      val predId = map(preds.zipWithIndex.flatMap { case (p, i) => Seq(lit(p), lit(i)) }: _*)
+      val predOf = map(preds.zipWithIndex.flatMap { case (p, i) => Seq(lit(i), lit(p)) }: _*)
+
+      val compact = facts
+        .join(sLink, Seq("subjSurface"))
+        .join(oLink, Seq("objSurface"), "left")
+        .select(col("sid"),
+          element_at(predId, col("pred")).as("pid"),
+          coalesce(col("oid"), element_at(clsId, col("cls"))).as("oid"))
+        .filter(col("oid").isNotNull) // defensive: drop malformed facts
+        .distinct()
+
+      // the compact distinct output is tiny (ints) — AQE would coalesce it
+      // to one partition and run the expansion + write single-task
+      val spread = compact.repartition(spark.sparkContext.defaultParallelism)
+
+      val subjDict = broadcast(dict.select(col("eid").as("sid"), col("canonical").as("subjCanon")))
+      val objDict = broadcast(dict.select(col("eid").as("oid"), col("canonical").as("objCanon")))
+      val clsOf = map(classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(-(i + 1)), lit(c)) }: _*)
+      spread
+        .join(subjDict, Seq("sid"))
+        .join(objDict, Seq("oid"), "left")
+        .select(
+          surfaceToIri(col("subjCanon")).as("subj"),
+          element_at(predOf, col("pid")).as("pred"),
+          coalesce(surfaceToIri(col("objCanon")), element_at(clsOf, col("oid"))).as("obj"))
     }
 
     val validation =

@@ -21,15 +21,15 @@ final class StageCheckpoint(spark: SparkSession, baseDir: String) {
   private def lineagePath(name: String) = Paths.get(s"$baseDir/$name.lineage.json")
   private def dataPath(name: String) = s"$baseDir/$name.parquet"
 
-  /** Row count + order-insensitive content checksum + per-partition counts. */
+  /** Row count + order-insensitive content checksum + per-partition counts —
+    * ONE pass: aggregate per partition id, derive totals on the driver. */
   def fingerprint(df: DataFrame): StageLineage = {
-    val cs = df.select(
-      count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("h"))
-      .collect()(0)
-    val parts = df.groupBy(spark_partition_id().as("p")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
-    StageLineage(cs.getLong(0), cs.getLong(1), parts)
+    val parts = df.groupBy(spark_partition_id().as("p"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("h"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    StageLineage(parts.map(_._2).sum, parts.map(_._3).fold(0L)(_ ^ _),
+      parts.map(p => (p._1, p._2)))
   }
 
   def isComplete(name: String): Boolean = Files.exists(lineagePath(name))
@@ -39,10 +39,13 @@ final class StageCheckpoint(spark: SparkSession, baseDir: String) {
     * downstream lineage is rooted at the checkpoint, not the computation. */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (!isComplete(name)) {
+      val t0 = System.nanoTime()
       val df = compute
       df.write.mode(SaveMode.Overwrite).parquet(dataPath(name))
+      val tWrite = (System.nanoTime() - t0) / 1e9
       val persisted = spark.read.parquet(dataPath(name))
       val lin = fingerprint(persisted)
+      System.err.println(f"[stage $name] write=${tWrite}%.1fs fingerprint=${(System.nanoTime() - t0) / 1e9 - tWrite}%.1fs rows=${lin.rows}")
       val json =
         s"""{"stage":"$name","rows":${lin.rows},"checksum":${lin.checksum},
            |"partitions":${lin.partitions.map { case (p, c) => s"""{"id":$p,"rows":$c}""" }.mkString("[", ",", "]")}}"""

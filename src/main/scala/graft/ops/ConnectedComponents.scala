@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges DataFrame with two string columns (src, dst)
+    * @param localThreshold edge sets at or below this size are solved with a
+    *        driver-side union-find instead of iterative distributed rounds —
+    *        broadcast-scale graphs (alias clusters, dedup groups) would
+    *        otherwise pay 8-12 tiny Spark jobs of pure scheduling latency.
+    *        The distributed small-star/large-star path engages above it.
     * @return DataFrame(node, component) — component is the minimum node id
     *         (ordered lexicographically) of the node's component. Nodes with
     *         no edges are their own component and are NOT emitted (callers
     *         left-join and coalesce to self). */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+          localThreshold: Long = 1000000L): DataFrame = {
     import spark.implicits._
     val src = edges.columns(0)
     val dst = edges.columns(1)
@@ -40,6 +46,8 @@ object ConnectedComponents {
 
     var e = symmetrize(edges.select(col(src).as("u"), col(dst).as("v")))
       .localCheckpoint(true)
+
+    if (e.count() <= localThreshold) return localUnionFind(spark, e)
 
     def largeStar(g: DataFrame): DataFrame = {
       val sym = symmetrize(g)
@@ -79,6 +87,26 @@ object ConnectedComponents {
         struct($"v".as("node"), $"v".as("component")))).as("x"))
       .select($"x.node".as("node"), $"x.component".as("component"))
       .groupBy($"node").agg(min($"component").as("component"))
+  }
+
+  /** Exact union-find on the driver for broadcast-scale edge sets. */
+  private def localUnionFind(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = e.as[(String, String)].collect()
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "component")
   }
 
   private def checksum(df: DataFrame): (Long, Long) = {

@@ -33,6 +33,13 @@ final case class ValidationResult(
 ) {
   def valid(shapeId: String): DataFrame = verdicts(shapeId).validFinal
   def invalid(shapeId: String): DataFrame = verdicts(shapeId).invalid
+
+  /** Release cached verdict/target frames once consumers have materialized
+    * their outputs — long-lived sessions running many validations would
+    * otherwise accumulate executor storage. */
+  def unpersist(): Unit = verdicts.values.foreach { v =>
+    v.targets.unpersist(); v.strictValid.unpersist(); v.invalid.unpersist()
+  }
 }
 
 final class ValidationStats {

@@ -1,4 +1,6 @@
-package graft.kg
+package graft.tools
+
+import graft.kg.Universe
 
 import graft.ops.TextSim
 import org.apache.spark.sql.SparkSession

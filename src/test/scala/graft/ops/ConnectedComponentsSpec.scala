@@ -22,12 +22,27 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(comp("x1") != comp("y1"))
   }
 
-  test("long chain converges (logarithmic rounds)") {
+  test("long chain converges (logarithmic rounds, distributed path)") {
+    import spark.implicits._
     val n = 64
     val edges = (0 until n - 1).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
-    val comp = components(edges)
+    // localThreshold = 0 forces the distributed small-star/large-star rounds
+    val comp = ConnectedComponents.run(spark, edges.toDF("src", "dst"), localThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(comp.values.toSet == Set("n000"))
     assert(comp.size == n)
+  }
+
+  test("distributed rounds agree with local union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 300).map(_ => (s"v${rnd.nextInt(120)}", s"v${rnd.nextInt(120)}"))
+      .filter(e => e._1 != e._2).toDF("src", "dst").cache()
+    val local = ConnectedComponents.run(spark, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = ConnectedComponents.run(spark, edges, localThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == dist)
   }
 
   test("self loops and duplicate edges are harmless") {

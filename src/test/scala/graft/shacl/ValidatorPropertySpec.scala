@@ -1,0 +1,65 @@
+package graft.shacl
+
+import graft.SparkTestBase
+import graft.rdf.{Rdf, STriple, TripleStore}
+
+import scala.util.Random
+
+/** Property-style checks over randomized small graphs (fixed seeds — each
+  * case is deterministic): cardinality monotonicity, maxCount-0 ≡ absence,
+  * and the valid/invalid partition invariant. An upgrade over the reference's
+  * golden-only suite (SURVEY.md §5).
+  */
+class ValidatorPropertySpec extends SparkTestBase {
+  private val ns = "http://p.example.org/"
+  private val cls = ns + "C"
+  private val path = ns + "p"
+
+  private def randomTriples(seed: Long, n: Int): Seq[STriple] = {
+    val rnd = new Random(seed)
+    (0 until n).flatMap { i =>
+      val subj = s"${ns}i$i"
+      val typed = STriple(subj, Rdf.rdfType, cls)
+      val edges = (0 until rnd.nextInt(5)).map(j => STriple(subj, path, s"${ns}v${rnd.nextInt(8)}"))
+      typed +: edges
+    }
+  }
+
+  private def shapeWithMin(min: Int) = ShapeSchema(Seq(
+    Shape(ns + "S", Some(cls), None, Some(s"SELECT ?x WHERE { ?x a <$cls> }"),
+      Seq(CardConstraint("c1", DirectPath(path), min = min)), Nil, Nil)))
+  private def shapeWithMax(max: Int) = ShapeSchema(Seq(
+    Shape(ns + "S", Some(cls), None, Some(s"SELECT ?x WHERE { ?x a <$cls> }"),
+      Seq(CardConstraint("c1", DirectPath(path), max = max)), Nil, Nil)))
+
+  for (seed <- Seq(1L, 7L, 42L)) {
+    test(s"raising minCount shrinks the valid set (seed=$seed)") {
+      val triples = TripleStore.fromTriples(spark, randomTriples(seed, 40)).cache()
+      val validSets = (1 to 4).map { m =>
+        new Validator(spark, triples, shapeWithMin(m)).run()
+          .valid(ns + "S").collect().map(_.getString(0)).toSet
+      }
+      validSets.sliding(2).foreach { case Seq(a, b) => assert(b.subsetOf(a)) }
+    }
+
+    test(s"maxCount 0 is equivalent to path absence (seed=$seed)") {
+      val data = randomTriples(seed, 40)
+      val triples = TripleStore.fromTriples(spark, data).cache()
+      val result = new Validator(spark, triples, shapeWithMax(0)).run()
+      val valid = result.valid(ns + "S").collect().map(_.getString(0)).toSet
+      val withEdge = data.filter(_.pred == path).map(_.subj).toSet
+      val all = data.filter(_.pred == Rdf.rdfType).map(_.subj).toSet
+      assert(valid == all -- withEdge)
+    }
+
+    test(s"valid and invalid partition the target set (seed=$seed)") {
+      val triples = TripleStore.fromTriples(spark, randomTriples(seed, 40)).cache()
+      val result = new Validator(spark, triples, shapeWithMin(2)).run()
+      val valid = result.valid(ns + "S").collect().map(_.getString(0)).toSet
+      val invalid = result.invalid(ns + "S").collect().map(_.getString(0)).toSet
+      val targets = result.verdicts(ns + "S").targets.collect().map(_.getString(0)).toSet
+      assert((valid & invalid).isEmpty)
+      assert((valid | invalid) == targets)
+    }
+  }
+}
