@@ -35,6 +35,12 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // untimed warmup: JIT + codegen compilation otherwise lands entirely on
+    // whichever query happens to run first
+    SparkEntry.queries("q_shacl_validate")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -20,14 +20,17 @@ object TextSim {
         explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) >= minTokenLen)).as("token"))
       .distinct()
 
-  /** Character n-gram shingles (id, token) — for near-dup text hashing. */
+  /** Character n-gram shingles (id, token) — for near-dup text hashing.
+    * Shingles are hashed to 64-bit longs immediately: every downstream
+    * operation (minhash, LSH, candidate-pair jaccard joins) then shuffles
+    * and compares 8-byte integers instead of n-char strings. */
   def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
     df.select(col(idCol).as("id"), norm.as("t"))
       .select(col("id"),
         explode(transform(
           sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
-          i => col("t").substr(i, lit(n)))).as("token"))
+          i => xxhash64(col("t").substr(i, lit(n))))).as("token"))
       .distinct()
   }
 

@@ -1,0 +1,92 @@
+package graft.shacl
+
+import graft.SparkTestBase
+import graft.rdf.{Rdf, STriple, TripleStore}
+
+import scala.util.Random
+
+/** Cross-validates the Spark set-algebra validator against the literal
+  * in-memory port of the reference algorithm (OracleValidator) on RANDOM
+  * shape schemas — including cyclic reference networks — over random small
+  * graphs. This guards the well-founded-model distillation (SURVEY.md §4.3)
+  * on inputs far outside the fixed golden corpus.
+  */
+class CrossValidationSpec extends SparkTestBase {
+  private val ns = "http://x.example.org/"
+
+  private def randomSchema(rnd: Random): ShapeSchema = {
+    val nShapes = 2 + rnd.nextInt(3)
+    val shapes = (0 until nShapes).map { i =>
+      val id = ns + s"S$i"
+      val cls = ns + s"C$i"
+      val nCons = rnd.nextInt(3)
+      val cons = (0 until nCons).map { j =>
+        val path = DirectPath(ns + s"p${rnd.nextInt(4)}")
+        val ref = if (rnd.nextBoolean()) Some(ns + s"S${rnd.nextInt(nShapes)}") else None
+        if (rnd.nextBoolean()) CardConstraint(s"c$i$j", path, min = 1 + rnd.nextInt(2), shapeRef = ref)
+        else CardConstraint(s"c$i$j", path, max = rnd.nextInt(3), shapeRef = ref)
+      }
+      Shape(id, Some(cls), None, Some(s"SELECT ?x WHERE { ?x a <$cls> }"), cons, Nil, Nil)
+    }
+    ShapeSchema(shapes)
+  }
+
+  private def randomGraph(rnd: Random, schema: ShapeSchema): Seq[STriple] = {
+    val perClass = 4 + rnd.nextInt(5)
+    val instances = schema.shapes.zipWithIndex.flatMap { case (s, i) =>
+      (0 until perClass).map { k =>
+        val inst = ns + s"i${i}_$k"
+        (inst, s.targetClass.get)
+      }
+    }
+    val typeTriples = instances.map { case (inst, cls) => STriple(inst, Rdf.rdfType, cls) }
+    val all = instances.map(_._1)
+    val edges = (0 until all.size * 3).map { _ =>
+      STriple(all(rnd.nextInt(all.size)), ns + s"p${rnd.nextInt(4)}", all(rnd.nextInt(all.size)))
+    } ++ (0 until all.size).map { _ => // literal-ish objects too
+      STriple(all(rnd.nextInt(all.size)), ns + s"p${rnd.nextInt(4)}", s"lit${rnd.nextInt(6)}")
+    }
+    (typeTriples ++ edges).distinct
+  }
+
+  for (seed <- Seq(3L, 11L, 23L, 57L, 101L, 223L, 407L, 911L)) {
+    test(s"random schema/graph: Spark validator matches the reference-algorithm oracle (seed=$seed)") {
+      val rnd = new Random(seed)
+      val schema = randomSchema(rnd)
+      val data = randomGraph(rnd, schema)
+
+      val orderA = Traversal.plan(schema, Traversal.DFS)
+      val orderB = Traversal.plan(schema, Traversal.BFS)
+      val (oValidA, oInvalidA) = OracleValidator.validate(schema, data, orderA)
+      val (oValidB, oInvalidB) = OracleValidator.validate(schema, data, orderB)
+      // the reference algorithm itself must be planner-invariant
+      assert(oValidA == oValidB && oInvalidA == oInvalidB,
+        s"oracle not order-invariant: DFS=$orderA BFS=$orderB")
+
+      val triples = TripleStore.fromTriples(spark, data)
+      val result = new Validator(spark, triples, schema).run()
+      val sValid = result.verdicts.values.flatMap(_.validFinal.collect().map(_.getString(0))).toSet
+      val sInvalid = result.verdicts.values.flatMap(_.invalid.collect().map(_.getString(0))).toSet
+
+      assert(sValid == oValidA,
+        s"valid mismatch: onlySpark=${sValid -- oValidA} onlyOracle=${oValidA -- sValid}")
+      assert(sInvalid == oInvalidA,
+        s"invalid mismatch: onlySpark=${sInvalid -- oInvalidA} onlyOracle=${oInvalidA -- sInvalid}")
+    }
+  }
+
+  test("oracle reproduces a golden recursion case (sanity anchor)") {
+    // recursion/case1a: self-referential qualifiedMinCount 1 over test:toA
+    val test = "http://test.example.com/"
+    val schema = ShapeSchema(Seq(
+      Shape(test + "shapes/ClassA", Some(test + "ClassA"), None,
+        Some(s"SELECT ?x WHERE { ?x a <${test}ClassA> }"),
+        Seq(CardConstraint("c1", DirectPath(test + "toA"), min = 1,
+          shapeRef = Some(test + "shapes/ClassA"))), Nil, Nil)))
+    val data = graft.rdf.Rdf.toStringTriples(
+      graft.rdf.TurtleParser.parseFile(resource("data/test.ttl")))
+    val (valid, invalid) = OracleValidator.validate(schema, data, Seq(test + "shapes/ClassA"))
+    assert(valid == Set(0, 1, 2, 3, 6).map(i => s"${test}ClassA_Instance$i"))
+    assert(invalid == Set(4, 5).map(i => s"${test}ClassA_Instance$i"))
+  }
+}
