@@ -108,6 +108,13 @@ object Pipeline {
     Result(triples, ckpt.counters, validation)
   }
 
+  /** Publish the emitted graph as the north-rule table layout: parquet
+    * partitioned by predicate (directory pruning per constraint path); use
+    * `TripleStore.writeBucketedTable` instead when a catalog is available
+    * (adds subject-hash bucketing for shuffle-free groupBy(subj)). */
+  def materialize(result: Result, path: String): Unit =
+    graft.rdf.TripleStore.writePartitioned(result.triples, path)
+
   /** Precision/recall of emitted triples against an expected set. */
   def precisionRecall(out: DataFrame, expected: DataFrame): (Double, Double) = {
     val o = out.select("subj", "pred", "obj").distinct().cache()

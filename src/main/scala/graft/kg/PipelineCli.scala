@@ -14,12 +14,14 @@ object PipelineCli {
     var convs = 500L
     var entities = 120
     var validate = false
+    var out = ""
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--convs" => i += 1; convs = args(i).toLong
         case "--entities" => i += 1; entities = args(i).toInt
         case "--validate" => validate = true
+        case "--out" => i += 1; out = args(i)
         case p => workDir = p
       }
       i += 1
@@ -47,6 +49,8 @@ object PipelineCli {
 
       val (p, r) = Pipeline.precisionRecall(result.triples,
         TranscriptGen.expectedTriples(spark, convs, entities))
+
+      if (out.nonEmpty) Pipeline.materialize(result, out)
 
       println(s"turns=$turnCount triples=$tripleCount elapsed=${f"$sec%.2f"}s " +
         s"triples_per_sec=${f"${tripleCount / sec}%.0f"} precision=${f"$p%.4f"} recall=${f"$r%.4f"}")

@@ -21,7 +21,8 @@ class CrossValidationSpec extends SparkTestBase {
       val cls = ns + s"C$i"
       val nCons = rnd.nextInt(3)
       val cons = (0 until nCons).map { j =>
-        val path = DirectPath(ns + s"p${rnd.nextInt(4)}")
+        val p = ns + s"p${rnd.nextInt(4)}"
+        val path: PathExpr = if (rnd.nextInt(4) == 0) InversePath(p) else DirectPath(p)
         val ref = if (rnd.nextBoolean()) Some(ns + s"S${rnd.nextInt(nShapes)}") else None
         if (rnd.nextBoolean()) CardConstraint(s"c$i$j", path, min = 1 + rnd.nextInt(2), shapeRef = ref)
         else CardConstraint(s"c$i$j", path, max = rnd.nextInt(3), shapeRef = ref)
