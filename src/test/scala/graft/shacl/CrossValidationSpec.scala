@@ -27,7 +27,16 @@ class CrossValidationSpec extends SparkTestBase {
         if (rnd.nextBoolean()) CardConstraint(s"c$i$j", path, min = 1 + rnd.nextInt(2), shapeRef = ref)
         else CardConstraint(s"c$i$j", path, max = rnd.nextInt(3), shapeRef = ref)
       }
-      Shape(id, Some(cls), None, Some(s"SELECT ?x WHERE { ?x a <$cls> }"), cons, Nil, Nil)
+      // occasionally add an sh:or group of local cardinality options
+      val orGroups = if (rnd.nextInt(3) == 0) Seq(OrGroup(s"or$i", Seq(
+        CardConstraint(s"or${i}a", DirectPath(ns + s"p${rnd.nextInt(4)}"), min = 1),
+        CardConstraint(s"or${i}b", DirectPath(ns + s"p${rnd.nextInt(4)}"), max = rnd.nextInt(2))
+      ))) else Nil
+      // occasionally add a restricted sh:sparql constraint over numeric objects
+      val sparqls = if (rnd.nextInt(3) == 0) Seq(SparqlConstraint(s"sp$i",
+        s"SELECT ($$this AS ?this) WHERE { $$this <${ns}num> ?o FILTER( ?o > ${2000 + rnd.nextInt(20)} ) }"))
+      else Nil
+      Shape(id, Some(cls), None, Some(s"SELECT ?x WHERE { ?x a <$cls> }"), cons, orGroups, sparqls)
     }
     ShapeSchema(shapes)
   }
@@ -46,6 +55,8 @@ class CrossValidationSpec extends SparkTestBase {
       STriple(all(rnd.nextInt(all.size)), ns + s"p${rnd.nextInt(4)}", all(rnd.nextInt(all.size)))
     } ++ (0 until all.size).map { _ => // literal-ish objects too
       STriple(all(rnd.nextInt(all.size)), ns + s"p${rnd.nextInt(4)}", s"lit${rnd.nextInt(6)}")
+    } ++ (0 until all.size).map { _ => // numeric literals for sparql constraints
+      STriple(all(rnd.nextInt(all.size)), ns + "num", (1990 + rnd.nextInt(40)).toString)
     }
     (typeTriples ++ edges).distinct
   }
