@@ -21,7 +21,12 @@ object EntityLinker {
       rowsPerBand: Int = 1,
       bucketCap: Int = 1000,
       cosineThreshold: Double = 0.5,
-      minTokenLen: Int = 2)
+      minTokenLen: Int = 2,
+      /** tokens present in more than this fraction of surfaces are dropped
+        * from the linking signal (corpus-specific stopwords like "Corp":
+        * near-zero identity, but they min-hash whole entity families into
+        * the same LSH buckets and explode the candidate-pair count). */
+      maxDfFraction: Double = 0.1)
 
   /** @param surfaces single-column DataFrame of surface strings (any name)
     * @return DataFrame(surface, canonical) covering every input surface
@@ -32,9 +37,13 @@ object EntityLinker {
     val distinctSurfaces = surfaces.select(col(inCol).as("surface")).distinct().cache()
     val n = distinctSurfaces.count()
 
-    val tok = TextSim.tokens(
+    val maxDf = math.max(8L, (n * params.maxDfFraction).toLong)
+    val rawTok = TextSim.tokens(
       distinctSurfaces.select(col("surface").as("id"), col("surface").as("text")),
-      "id", "text", params.minTokenLen).cache()
+      "id", "text", params.minTokenLen)
+    val stopTokens = rawTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select(col("token"))
+    val tok = rawTok.join(broadcast(stopTokens), Seq("token"), "left_anti").cache()
 
     // MinHash-LSH blocking (bands of 1 row: candidate iff ANY min-hash
     // collides; with k=12 a Jaccard-1/3 alias pair is missed with p≈(2/3)^12)
