@@ -44,12 +44,20 @@ object Extraction {
     * (conv_id, turn_idx, subjSurface, pred, objSurface, cls).
     * Relation rows carry (pred, objSurface); type rows carry pred=rdf:type
     * and the class IRI in `cls`. Trigger/kind words map to IRIs through
-    * literal maps — everything stays inside whole-stage codegen. */
+    * literal maps — everything stays inside whole-stage codegen.
+    *
+    * ALL matching fact sentences of a turn are kept: one
+    * `regexp_extract_all` pass over the full text finds every
+    * non-overlapping match, then the (short) matched sentences are exploded
+    * and re-captured per group — the full-corpus regex scan runs exactly
+    * once, the per-group extracts only touch ~60-char match strings. */
   def facts(turns: DataFrame): DataFrame =
     turns.select(col("conv_id"), col("turn_idx"),
-        regexp_extract(col("text"), factPattern, 1).as("subjSurface"),
-        regexp_extract(col("text"), factPattern, 2).as("trigger"),
-        regexp_extract(col("text"), factPattern, 3).as("objRaw"))
+        explode(regexp_extract_all(col("text"), lit(factPattern), lit(0))).as("sent"))
+      .select(col("conv_id"), col("turn_idx"),
+        regexp_extract(col("sent"), factPattern, 1).as("subjSurface"),
+        regexp_extract(col("sent"), factPattern, 2).as("trigger"),
+        regexp_extract(col("sent"), factPattern, 3).as("objRaw"))
       .filter(col("subjSurface") =!= "")
       .select(col("conv_id"), col("turn_idx"), col("subjSurface"),
         when(col("trigger") === "is a", lit(graft.rdf.Rdf.rdfType))

@@ -38,40 +38,62 @@ object Pipeline {
   private def surfaceToIri(c: org.apache.spark.sql.Column) =
     concat(lit(Universe.ns), regexp_replace(c, " ", "_"))
 
+  /** @param inputSignature caller-supplied identity of the input corpus
+    *        (e.g. source path + snapshot, or generator params). Stage
+    *        checkpoints are keyed on it: re-running with the same workDir
+    *        but a different signature recomputes instead of silently
+    *        returning stale parquet. The default "" keeps pure
+    *        kill/restart resume (same job, same input). */
   def run(spark: SparkSession, turns: DataFrame, workDir: String,
           validate: Boolean = false,
-          linker: EntityLinker.LinkerParams = EntityLinker.LinkerParams()): Result = {
+          linker: EntityLinker.LinkerParams = EntityLinker.LinkerParams(),
+          inputSignature: String = ""): Result = {
     val ckpt = new StageCheckpoint(spark, workDir)
+    val sig = inputSignature
+    val linkSig = s"$sig;linker=$linker"
 
     // ONE pass over the corpus extracts relation AND type facts together —
     // the transcript scan dominates data volume and must not run twice.
-    val facts = ckpt.stage("facts") { Extraction.facts(turns) }
+    val facts = ckpt.stage("facts", sig) { Extraction.facts(turns) }
 
-    val surfaces = ckpt.stage("surfaces") {
+    val surfaces = ckpt.stage("surfaces", sig) {
       facts.select(col("subjSurface").as("surface"))
         .union(facts.filter(col("objSurface").isNotNull)
           .select(col("objSurface").as("surface")))
         .distinct()
     }
 
-    val links = ckpt.stage("links") { EntityLinker.link(spark, surfaces, linker) }
+    val links = ckpt.stage("links", linkSig) { EntityLinker.link(spark, surfaces, linker) }
 
-    val triples = ckpt.stage("triples") {
+    val triples = ckpt.stage("triples", linkSig) {
       // Dictionary-encode entities and predicates BEFORE the corpus-wide
-      // distinct: the dedup shuffle then moves (int, byte-sized pred id,
-      // int) rows instead of ~150-byte IRI strings — an order of magnitude
+      // distinct: the dedup shuffle then moves (long, byte-sized pred id,
+      // long) rows instead of ~150-byte IRI strings — an order of magnitude
       // less shuffle volume, and integer hashing instead of string hashing.
-      import org.apache.spark.sql.expressions.Window
+      // Entity ids are CONTENT HASHES (xxhash64 of the canonical surface):
+      // no global window (a row_number over an unpartitioned window funnels
+      // the whole dictionary through one task) and no driver-side state, so
+      // the dictionary can be arbitrarily large. A collision audit below
+      // fails loudly in the astronomically-unlikely 64-bit collision case.
       val dict = links.select(col("canonical")).distinct()
-        .withColumn("eid", row_number().over(Window.orderBy(col("canonical"))))
-      val sLink = broadcast(links.join(dict, "canonical")
-        .select(col("surface").as("subjSurface"), col("eid").as("sid")))
-      val oLink = broadcast(links.join(dict, "canonical")
-        .select(col("surface").as("objSurface"), col("eid").as("oid")))
-      // objects of type facts are class IRIs, not surfaces: give the three
-      // classes fixed negative ids so they share the integer dictionary
+        .withColumn("eid", xxhash64(col("canonical")))
+        .localCheckpoint(true)
       val classes = Seq(Universe.clsPerson, Universe.clsOrg, Universe.clsProject)
-      val clsId = map(classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(c), lit(-(i + 1))) }: _*)
+      // objects of type facts are class IRIs, not surfaces: give the three
+      // classes fixed reserved ids so they share the integer dictionary
+      val clsId = map(classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(c), lit(-(i + 1).toLong)) }: _*)
+      val audit = dict.agg(
+        countDistinct(col("canonical")).as("nCanon"),
+        countDistinct(col("eid")).as("nId"),
+        count(when(col("eid").isin(-1L, -2L, -3L), lit(1))).as("nReserved")).head()
+      require(audit.getLong(0) == audit.getLong(1) && audit.getLong(2) == 0L,
+        s"entity-id hash collision: ${audit.getLong(0)} canonicals -> " +
+          s"${audit.getLong(1)} ids (${audit.getLong(2)} reserved hits)")
+
+      // surface -> eid maps; plain shuffle joins (AQE broadcasts small sides
+      // at test scale; at 10^8+ distinct surfaces these CANNOT be broadcast)
+      val sLink = links.select(col("surface").as("subjSurface"), xxhash64(col("canonical")).as("sid"))
+      val oLink = links.select(col("surface").as("objSurface"), xxhash64(col("canonical")).as("oid"))
       val preds = Seq(Rdf.rdfType, Universe.relWorksAt, Universe.relCollab, Universe.relContrib)
       val predId = map(preds.zipWithIndex.flatMap { case (p, i) => Seq(lit(p), lit(i)) }: _*)
       val predOf = map(preds.zipWithIndex.flatMap { case (p, i) => Seq(lit(i), lit(p)) }: _*)
@@ -89,9 +111,9 @@ object Pipeline {
       // to one partition and run the expansion + write single-task
       val spread = compact.repartition(spark.sparkContext.defaultParallelism)
 
-      val subjDict = broadcast(dict.select(col("eid").as("sid"), col("canonical").as("subjCanon")))
-      val objDict = broadcast(dict.select(col("eid").as("oid"), col("canonical").as("objCanon")))
-      val clsOf = map(classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(-(i + 1)), lit(c)) }: _*)
+      val subjDict = dict.select(col("eid").as("sid"), col("canonical").as("subjCanon"))
+      val objDict = dict.select(col("eid").as("oid"), col("canonical").as("objCanon"))
+      val clsOf = map(classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(-(i + 1).toLong), lit(c)) }: _*)
       spread
         .join(subjDict, Seq("sid"))
         .join(objDict, Seq("oid"), "left")

@@ -43,7 +43,8 @@ object PipelineCli {
       val turns = TranscriptGen.generate(spark, convs, entities).toDF().cache()
       val turnCount = turns.count()
       val t0 = System.nanoTime()
-      val result = Pipeline.run(spark, turns, workDir, validate)
+      val result = Pipeline.run(spark, turns, workDir, validate,
+        inputSignature = s"convs=$convs;entities=$entities")
       val tripleCount = result.triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
 

@@ -8,10 +8,12 @@ import scala.jdk.CollectionConverters._
 
 /** Stage-level checkpointing with per-partition lineage + counters (north
   * rule: "every stage checkpoints per-partition lineage and counters to
-  * enable exact resume"). A stage whose lineage file exists and whose
-  * recomputed-input fingerprint matches is NOT recomputed — the persisted
-  * parquet is read back, so a killed run resumes at the stage boundary with
-  * byte-identical results.
+  * enable exact resume"). A stage whose lineage file exists AND whose
+  * recorded parameter signature matches the caller's is NOT recomputed —
+  * the persisted parquet is read back, so a killed run resumes at the stage
+  * boundary with byte-identical results. A signature mismatch (same workDir
+  * reused with different input/config) recomputes the stage instead of
+  * silently returning stale parquet.
   */
 final class StageCheckpoint(spark: SparkSession, baseDir: String) {
   Files.createDirectories(Paths.get(baseDir))
@@ -32,13 +34,26 @@ final class StageCheckpoint(spark: SparkSession, baseDir: String) {
       parts.map(p => (p._1, p._2)))
   }
 
-  def isComplete(name: String): Boolean = Files.exists(lineagePath(name))
+  /** Signature of the inputs/config a stage was computed from — NOT the
+    * output fingerprint (which can't detect stale reuse before recompute). */
+  private def paramsSig(params: String): Long =
+    scala.util.hashing.MurmurHash3.stringHash(params).toLong
+
+  def isComplete(name: String, params: String = ""): Boolean =
+    Files.exists(lineagePath(name)) && {
+      val content = new String(Files.readAllBytes(lineagePath(name)), "UTF-8")
+      """"params_sig":(-?\d+)""".r.findFirstMatchIn(content)
+        .exists(_.group(1).toLong == paramsSig(params))
+    }
 
   /** Run (or resume) a stage. `compute` is only invoked when no completed
-    * checkpoint exists. Returns the stage output read back from parquet so
-    * downstream lineage is rooted at the checkpoint, not the computation. */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
-    if (!isComplete(name)) {
+    * checkpoint with a MATCHING parameter signature exists; a lineage file
+    * recorded under different `params` (changed input corpus or stage
+    * config in a reused workDir) triggers recomputation. Returns the stage
+    * output read back from parquet so downstream lineage is rooted at the
+    * checkpoint, not the computation. */
+  def stage(name: String, params: String = "")(compute: => DataFrame): DataFrame = {
+    if (!isComplete(name, params)) {
       val t0 = System.nanoTime()
       val df = compute
       df.write.mode(SaveMode.Overwrite).parquet(dataPath(name))
@@ -47,7 +62,7 @@ final class StageCheckpoint(spark: SparkSession, baseDir: String) {
       val lin = fingerprint(persisted)
       System.err.println(f"[stage $name] write=${tWrite}%.1fs fingerprint=${(System.nanoTime() - t0) / 1e9 - tWrite}%.1fs rows=${lin.rows}")
       val json =
-        s"""{"stage":"$name","rows":${lin.rows},"checksum":${lin.checksum},
+        s"""{"stage":"$name","params_sig":${paramsSig(params)},"rows":${lin.rows},"checksum":${lin.checksum},
            |"partitions":${lin.partitions.map { case (p, c) => s"""{"id":$p,"rows":$c}""" }.mkString("[", ",", "]")}}"""
           .stripMargin.replace("\n", "")
       Files.write(lineagePath(name), json.getBytes("UTF-8"))

@@ -45,7 +45,7 @@ object TranscriptGen {
     import spark.implicits._
     spark.range(numConvs).flatMap { c =>
       val n = Universe.turnsPerConv(c, megaEvery, megaTurns)
-      (0 until n).iterator.flatMap { t => Universe.turn(c, t, numEntities).fact }
+      (0 until n).iterator.flatMap { t => Universe.turn(c, t, numEntities).facts }
     }.toDF("subj", "pred", "obj").distinct()
   }
 }

@@ -57,7 +57,7 @@ object Universe {
   def iri(k: Int): String = ns + canonicalSurface(k).replace(" ", "_")
 
   final case class Turn(role: String, text: String, tool: String,
-                        fact: Option[(String, String, String)])
+                        facts: Seq[(String, String, String)])
 
   private val roles = Vector("user", "assistant", "tool")
   private val tools = Vector("search", "browse", "exec")
@@ -92,29 +92,39 @@ object Universe {
     val pre = padding(mix64(h + 11), 1 + pick(mix64(h + 13), 3))
     val post = padding(mix64(h + 17), 1 + pick(mix64(h + 19), 3))
 
-    val form = pick(h, 6)
+    val form = pick(h, 7)
     form match {
       case 0 =>
         val s = person(mix64(h + 1)); val o = org(mix64(h + 2))
         Turn(role, s"$pre ${alias(s, mix64(h + 3))} works at ${alias(o, mix64(h + 4))} . $post", tool,
-          Some((iri(s), relWorksAt, iri(o))))
+          Seq((iri(s), relWorksAt, iri(o))))
       case 1 =>
         val s = person(mix64(h + 1))
         var o = person(mix64(h + 2))
         if (o == s) o = (o + 3) % e
         Turn(role, s"$pre ${alias(s, mix64(h + 3))} collaborates with ${alias(o, mix64(h + 4))} . $post", tool,
-          Some((iri(s), relCollab, iri(o))))
+          Seq((iri(s), relCollab, iri(o))))
       case 2 =>
         val s = person(mix64(h + 1)); val o = project(mix64(h + 2))
         Turn(role, s"$pre ${alias(s, mix64(h + 3))} contributes to ${alias(o, mix64(h + 4))} . $post", tool,
-          Some((iri(s), relContrib, iri(o))))
+          Seq((iri(s), relContrib, iri(o))))
       case 3 =>
         val k = pick(mix64(h + 1), e)
         val kindWord = (k % 3) match {
           case 0 => "person"; case 1 => "organization"; case _ => "project"
         }
         Turn(role, s"$pre ${alias(k, mix64(h + 3))} is a $kindWord . $post", tool,
-          Some((iri(k), rdfType, kind(k))))
+          Seq((iri(k), rdfType, kind(k))))
+      case 4 =>
+        // TWO fact sentences in one turn — real transcripts pack several
+        // facts per turn; the extraction oracle must catch first-match-only
+        // extraction bugs (a single-fact universe cannot)
+        val s1 = person(mix64(h + 1)); val o1 = org(mix64(h + 2))
+        val s2 = person(mix64(h + 21)); val o2 = project(mix64(h + 22))
+        Turn(role,
+          s"$pre ${alias(s1, mix64(h + 3))} works at ${alias(o1, mix64(h + 4))} . " +
+            s"${alias(s2, mix64(h + 23))} contributes to ${alias(o2, mix64(h + 24))} . $post", tool,
+          Seq((iri(s1), relWorksAt, iri(o1)), (iri(s2), relContrib, iri(o2))))
       case _ =>
         // filler — all lowercase, so no mentions are extracted
         val fillers = Vector(
@@ -122,7 +132,7 @@ object Universe {
           "running the requested command now and waiting for results .",
           "the quick brown fox jumps over the lazy dog .",
           "let me check the previous conversation turns for context .")
-        Turn(role, s"$pre ${fillers(pick(mix64(h + 5), fillers.size))} $post", tool, None)
+        Turn(role, s"$pre ${fillers(pick(mix64(h + 5), fillers.size))} $post", tool, Nil)
     }
   }
 

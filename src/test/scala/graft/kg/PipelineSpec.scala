@@ -64,6 +64,42 @@ class PipelineSpec extends SparkTestBase {
     assert(partial.triples.orderBy("subj", "pred", "obj").collect().toSeq == firstTriples.toSeq)
   }
 
+  test("changed input signature recomputes instead of reusing stale checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("kgsig").toString
+    val turnsA = TranscriptGen.generate(spark, 40, 30).toDF().cache()
+    val a = Pipeline.run(spark, turnsA, dir, inputSignature = "convs=40")
+    val aTriples = a.triples.orderBy("subj", "pred", "obj").collect()
+
+    // same signature → checkpoint reuse (input ignored, like kill/restart)
+    val garbage = Seq(("conv0", 0, "user", "NOPE .", "", new java.sql.Timestamp(0L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val same = Pipeline.run(spark, garbage, dir, inputSignature = "convs=40")
+    assert(same.triples.orderBy("subj", "pred", "obj").collect().toSeq == aTriples.toSeq)
+
+    // different signature → every stage recomputes from the new input
+    val changed = Pipeline.run(spark, garbage, dir, inputSignature = "convs=1")
+    assert(changed.triples.count() == 0, "stale checkpoint reused despite changed signature")
+  }
+
+  test("extraction keeps every fact of a multi-fact turn") {
+    // find a conversation with at least one two-fact turn in a small range
+    val multi = (0L until 50L).flatMap(c => (0 until Universe.turnsPerConv(c))
+      .map(t => Universe.turn(c, t, 30))).filter(_.facts.size > 1)
+    assert(multi.nonEmpty, "universe should synthesize multi-fact turns")
+    val turns = TranscriptGen.generate(spark, 50, 30).toDF()
+    val factRows = Extraction.facts(turns)
+    // per-turn fact counts must match the generator exactly
+    val expected = (0L until 50L).flatMap { c =>
+      (0 until Universe.turnsPerConv(c)).flatMap { t =>
+        val n = Universe.turn(c, t, 30).facts.size
+        if (n > 0) Some((f"conv$c%08d", t) -> n.toLong) else None
+      }
+    }.toMap
+    val got = factRows.groupBy($"conv_id", $"turn_idx").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
   test("stage lineage records per-partition counters") {
     val dir = java.nio.file.Files.createTempDirectory("kglineage").toString
     val ckpt = new StageCheckpoint(spark, dir)
