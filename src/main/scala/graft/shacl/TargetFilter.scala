@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * invalid) instance list and comparing to the constraint bound
   * (QueryGenerator.py:105-131, InstancesRetrieval.py:121-185).
   *
-  * In the fixpoint engine this is a pure optimization (verdicts are
-  * identical either way — the planner-knob grid asserts it); it exists as a
-  * first-class operator with the reference's exact decision rule so callers
-  * can prune target sets eagerly during traversal.
+  * `Validator.run` applies it when `selective` is on and a neighbor passes
+  * the reference's eligibility rule — early violation pruning that shrinks
+  * the shape's pending set before constraint evaluation. Verdicts are
+  * identical either way (the pruned targets are exactly the ones the
+  * fixpoint would prove invalid through the same constraint — the
+  * planner-knob grid asserts the invariance).
   */
 object TargetFilter {
 
@@ -26,15 +28,17 @@ object TargetFilter {
   def eligibleNeighbor(shape: Shape, evaluated: Map[String, ShapeVerdict],
                        schema: ShapeSchema, threshold: Long = 256): Option[String] = {
     shape.shapeRefs.distinct.find { ref =>
-      evaluated.get(ref).exists { v =>
-        val nValid = v.strictValid.count()
-        val nInvalid = v.invalid.count()
-        val refShape = schema.byId.get(ref)
-        ((nValid > 0 && nValid < threshold) || (nInvalid > 0 && nInvalid < threshold)) &&
-          nInvalid > 0 &&
-          refShape.exists(_.targetQuery.isDefined) &&
-          !shape.isMaxRef(ref)
-      }
+      val refShape = schema.byId.get(ref)
+      // static conditions first — the counts below are Spark actions
+      // (full counts on purpose: they materialize the neighbor's persisted
+      // verdict frames, which every later consumer reuses)
+      refShape.exists(_.targetQuery.isDefined) && !shape.isMaxRef(ref) &&
+        evaluated.get(ref).exists { v =>
+          val nValid = v.validFinal.count()
+          val nInvalid = v.invalid.count()
+          ((nValid > 0 && nValid < threshold) || (nInvalid > 0 && nInvalid < threshold)) &&
+            nInvalid > 0
+        }
     }
   }
 
@@ -43,11 +47,12 @@ object TargetFilter {
     * (`cnt`); a min constraint with `cnt < min` (or max with `cnt > max`) is
     * immediately invalid, everything else stays pending — exactly
     * InstancesRetrieval.py:164-178 as one left-outer join + conditional
-    * aggregate instead of a VALUES-chunked query series. */
-  def extractTargetsWithFilter(spark: SparkSession, triples: DataFrame, shape: Shape,
-                               constraint: CardConstraint, refValid: DataFrame): Classified = {
+    * aggregate instead of a VALUES-chunked query series. The eligibility
+    * rule guarantees `refValid` is small (< 256), so it is broadcast — the
+    * Spark analogue of the reference's VALUES-list injection. */
+  def classify(spark: SparkSession, triples: DataFrame, targets: DataFrame,
+               constraint: CardConstraint, refValid: DataFrame): Classified = {
     import spark.implicits._
-    val targets = new Validator(spark, triples, ShapeSchema(Seq(shape))).targetsOf(shape)
     val path = constraint.path match {
       case DirectPath(p)  => triples.filter($"pred" === p).select($"subj".as("focus"), $"obj".as("o"))
       case InversePath(p) => triples.filter($"pred" === p).select($"obj".as("focus"), $"subj".as("o"))
@@ -63,5 +68,13 @@ object TargetFilter {
     Classified(
       pending = counted.filter(!isInvalid).select($"focus"),
       invalid = counted.filter(isInvalid).select($"focus"))
+  }
+
+  /** Standalone form computing the target scan itself (the reference's
+    * combined template_FILTER query shape). */
+  def extractTargetsWithFilter(spark: SparkSession, triples: DataFrame, shape: Shape,
+                               constraint: CardConstraint, refValid: DataFrame): Classified = {
+    val targets = new Validator(spark, triples, ShapeSchema(Seq(shape))).targetsOf(shape)
+    classify(spark, triples, targets, constraint, refValid)
   }
 }

@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.rdf.Rdf
 
-/** Configuration knobs with reference parity (main.py:20-53). `selective` and
-  * the traversal/heuristic knobs do not change verdicts (the reference test
-  * grid asserts exactly this invariance); they shape the execution plan.
+/** Configuration knobs with reference parity (main.py:20-53). The traversal/
+  * heuristic knobs and `selective` never change VERDICTS (the reference test
+  * grid asserts exactly this invariance) but they do reach execution:
+  * `selective` toggles target-pushdown semi-joins (A7) and A10 target
+  * pre-filtering, the traversal/heuristics pick the evaluation order of
+  * independent dependency chains.
   */
 final case class ValidatorConfig(
     selective: Boolean = true,
@@ -15,15 +18,23 @@ final case class ValidatorConfig(
     maxIterations: Int = 1000
 )
 
-/** Per-shape verdict state. `validFinal = targets ∖ invalid` (includes
-  * fixpoint-undefined instances — the reference classifies targets that
-  * remain unresolved at termination as valid, Validation.py:70-72,607).
-  * `strictValid` is the subset PROVEN valid by saturation; downstream
-  * max-cardinality constraints must count only these (a max-violation needs
-  * max+1 proven-valid neighbors, Validation.py:473-527).
+/** Per-shape verdict state, all derived from TWO cached frames: the
+  * 2-valued immediately-invalid set `inv0` (local cardinality, sh:or,
+  * sh:sparql, A10-pruned targets — distinct) and `marked(focus,__isF,__isT)`
+  * covering `targets ∖ inv0` with the fixpoint's proven-invalid (F) /
+  * proven-valid (T) flags. Derivations are lazy filters — no further joins:
+  *  - `strictValid` = marked T rows: the subset PROVEN valid by saturation;
+  *    downstream max-cardinality constraints count only these
+  *    (Validation.py:473-527).
+  *  - `invalid` = inv0 ∪ marked F rows (disjoint by construction — no dedup).
+  *  - `validFinal` = marked non-F rows: targets ∖ invalid, which includes
+  *    fixpoint-undefined instances (the reference classifies targets still
+  *    unresolved at termination as valid, Validation.py:70-72,607).
   */
-final case class ShapeVerdict(targets: DataFrame, strictValid: DataFrame, invalid: DataFrame) {
-  def validFinal: DataFrame = targets.join(invalid, Seq("focus"), "left_anti")
+final case class ShapeVerdict(targets: DataFrame, inv0: DataFrame, marked: DataFrame) {
+  def strictValid: DataFrame = marked.filter(col("__isT")).select(col("focus"))
+  def invalid: DataFrame = inv0.union(marked.filter(col("__isF")).select(col("focus")))
+  def validFinal: DataFrame = marked.filter(!col("__isF")).select(col("focus"))
 }
 
 final case class ValidationResult(
@@ -38,14 +49,23 @@ final case class ValidationResult(
     * their outputs — long-lived sessions running many validations would
     * otherwise accumulate executor storage. */
   def unpersist(): Unit = verdicts.values.foreach { v =>
-    v.targets.unpersist(); v.strictValid.unpersist(); v.invalid.unpersist()
+    v.targets.unpersist(); v.inv0.unpersist(); v.marked.unpersist()
   }
 }
 
+/** Run statistics, mirroring the reference's ValidationStats counters
+  * (utils/ValidationStats.py:29-49) with honest Spark-side meanings. */
 final class ValidationStats {
   var fixpointIterations: Int = 0
   var sccCount: Int = 0
   var cyclicSccCount: Int = 0
+  /** compiled constraint/target evaluations (≈ reference's #queries) */
+  var totalQueries: Int = 0
+  /** shapes whose target sets were pre-filtered via A10 */
+  var prunedShapes: Int = 0
+  /** wall-clock: plan/compile phase vs evaluation (incl. saturation) */
+  var planMs: Long = 0
+  var evalMs: Long = 0
 }
 
 /** Spark-native SHACL validation over a string triple table
@@ -99,6 +119,14 @@ final class Validator(
     case None => spark.emptyDataset[String].toDF("focus")
   }
 
+  /** A7 selective wrapper: nest the constraint evaluation inside the target
+    * set (reference QueryGenerator.__get_selective) — a semi-join pushdown
+    * that shrinks aggregation input to actual targets. Off ⇒ the constraint
+    * aggregates the full path-edge set and non-targets drop out in the final
+    * left join (verdicts identical; the grid asserts it). */
+  private def selectiveRestrict(df: DataFrame, targets: DataFrame): DataFrame =
+    if (config.selective) df.join(targets, Seq("focus"), "left_semi") else df
+
   /** Local (non-referencing) cardinality failures within the target set:
     * min m fails iff countDistinct < m, max m fails iff countDistinct > m
     * (absence counts as 0 — the reference's max query would simply return no
@@ -107,11 +135,11 @@ final class Validator(
     val locals = shape.constraints.filter(_.shapeRef.isEmpty)
     if (locals.isEmpty) return emptyFocus()
     val counted = locals.zipWithIndex.map { case (c, i) =>
-      val cnt = pathEdges(c.path)
-        .join(targets, Seq("focus"), "left_semi")
+      val cnt = selectiveRestrict(pathEdges(c.path), targets)
         .groupBy($"focus").agg(countDistinct($"o").as(s"c$i"))
       (c, i, cnt)
     }
+    stats.totalQueries += locals.size
     var df = targets
     counted.foreach { case (_, i, cnt) => df = df.join(cnt, Seq("focus"), "left") }
     val fail = counted.map { case (c, i, _) =>
@@ -129,7 +157,8 @@ final class Validator(
     if (shape.orGroups.isEmpty) return emptyFocus()
     val groupSets = shape.orGroups.map { g =>
       val optionSets = g.options.map { opt =>
-        val cnt = pathEdges(opt.path).join(targets, Seq("focus"), "left_semi")
+        stats.totalQueries += 1
+        val cnt = selectiveRestrict(pathEdges(opt.path), targets)
           .groupBy($"focus").agg(countDistinct($"o").as("c"))
         if (opt.isMin) cnt.filter($"c" >= opt.min).select($"focus")
         else // max options wrap the pattern in OPTIONAL: zero-count focus nodes pass
@@ -168,16 +197,43 @@ final class Validator(
 
   /** Typed edges for a referencing constraint: objects restricted to instances
     * of the referenced shape's target class (A8 `$inter_shape_type_to_add$`,
-    * InstancesRetrieval.py:207-217). */
+    * InstancesRetrieval.py:207-217). Edges are NOT deduplicated here — the
+    * verdict aggregation uses countDistinct, saving a shuffle per constraint. */
   private def refEdges(c: CardConstraint, refTargets: DataFrame): DataFrame =
     pathEdges(c.path).join(refTargets.withColumnRenamed("focus", "o"), Seq("o"), "left_semi")
+
+  /** Topological order over the SCC condensation, choosing among ready SCCs
+    * the one whose earliest member appears first in the traversal's node
+    * order — the B5 evaluation order reaches execution (it schedules
+    * independent dependency chains) without ever violating the
+    * referenced-shapes-first constraint the set algebra needs. */
+  private def scheduleSccs(sccs: Seq[Seq[String]], nodeOrder: Seq[String]): Seq[Seq[String]] = {
+    val orderIdx = nodeOrder.zipWithIndex.toMap
+    def rank(id: String): Int = orderIdx.getOrElse(id, Int.MaxValue)
+    val sccIdx: Map[String, Int] =
+      sccs.zipWithIndex.flatMap { case (c, i) => c.map(_ -> i) }.toMap
+    val deps: IndexedSeq[Set[Int]] = sccs.indices.map { i =>
+      sccs(i).flatMap(id => schema.dependencies.getOrElse(id, Nil))
+        .map(sccIdx).filter(_ != i).toSet
+    }
+    val done = scala.collection.mutable.Set[Int]()
+    val pending = scala.collection.mutable.Set.from(sccs.indices)
+    val out = Seq.newBuilder[Seq[String]]
+    while (pending.nonEmpty) {
+      val next = pending.filter(i => deps(i).subsetOf(done))
+        .minBy(i => sccs(i).map(rank).min)
+      out += sccs(next); done += next; pending -= next
+    }
+    out.result()
+  }
 
   // ------------------------------------------------------------------ run
 
   def run(): ValidationResult = {
+    val t0 = System.nanoTime()
     val nodeOrder = Traversal.plan(schema, config.traversal, config.heuristics)
-    val cyclicIds: Set[String] =
-      schema.sccsInEvaluationOrder.filter(schema.isCyclic).flatten.toSet
+    val sccs = scheduleSccs(schema.sccsInEvaluationOrder, nodeOrder)
+    val cyclicIds: Set[String] = sccs.filter(schema.isCyclic).flatten.toSet
 
     /** Shapes inside a cyclic SCC get eager checkpoints (their artifacts are
       * re-joined every fixpoint round and the growing lineage must be cut);
@@ -188,33 +244,35 @@ final class Validator(
 
     // Static per-shape artifacts
     val targets: Map[String, DataFrame] = schema.shapes.map { s =>
+      stats.totalQueries += 1
       s.id -> pin(s.id, targetsOf(s))
     }.toMap
 
-    val invalid0: Map[String, DataFrame] = schema.shapes.map { s =>
+    // 2-valued immediately-invalid sets. NOT deduplicated here — the final
+    // per-shape inv0 (after optional A10 pruning) gets ONE distinct.
+    val invalid0raw: Map[String, DataFrame] = schema.shapes.map { s =>
       val t = targets(s.id)
-      val inv = localCardInvalid(s, t)
-        .union(orInvalid(s, t))
-        .union(sparqlInvalid(s, t))
-        .distinct()
-      s.id -> pin(s.id, inv)
+      s.id -> localCardInvalid(s, t).union(orInvalid(s, t)).union(sparqlInvalid(s, t))
     }.toMap
 
-    // ref-constraint edge sets, computed once (joined against evolving verdicts)
+    // ref-constraint edge sets, computed once (joined against evolving
+    // verdicts). With `selective` the evaluation is nested inside the
+    // shape's target set (A7); either way no dedup — counts are distinct.
+    // Acyclic shapes consume their edges exactly once, so only cyclic
+    // shapes (whose edges re-join every fixpoint round) pin them.
+    def targetRestrict(df: DataFrame, shapeId: String): DataFrame =
+      selectiveRestrict(df, targets(shapeId))
+    def pinEdges(id: String, df: DataFrame): DataFrame = pin(id, df)
     val refMinEdges: Map[String, Seq[(CardConstraint, DataFrame)]] = schema.shapes.map { s =>
       s.id -> s.minConstraints.filter(_.shapeRef.isDefined).map { c =>
-        val r = c.shapeRef.get
-        val e = refEdges(c, targets.getOrElse(r, emptyFocus()))
-          .join(targets(s.id), Seq("focus"), "left_semi").distinct()
-        (c, pin(s.id, e))
+        val e = refEdges(c, targets.getOrElse(c.shapeRef.get, emptyFocus()))
+        (c, pinEdges(s.id, targetRestrict(e, s.id)))
       }
     }.toMap
     val refMaxEdges: Map[String, Seq[(CardConstraint, DataFrame)]] = schema.shapes.map { s =>
       s.id -> s.activeMaxConstraints.filter(_.shapeRef.isDefined).map { c =>
-        val r = c.shapeRef.get
-        val e = refEdges(c, targets.getOrElse(r, emptyFocus()))
-          .join(targets(s.id), Seq("focus"), "left_semi").distinct()
-        (c, pin(s.id, e))
+        val e = refEdges(c, targets.getOrElse(c.shapeRef.get, emptyFocus()))
+        (c, pinEdges(s.id, targetRestrict(e, s.id)))
       }
     }.toMap
     // Skipped max queries: bound enforced over the min constraints' paths
@@ -225,30 +283,34 @@ final class Validator(
         val minPaths = s.minConstraints.filter(_.shapeRef.contains(refShape))
         val e = minPaths.map(c => refEdges(c, targets.getOrElse(refShape, emptyFocus())))
           .reduceOption(_ union _).getOrElse(emptyFocus().withColumn("o", lit("")))
-          .join(targets(s.id), Seq("focus"), "left_semi").distinct()
-        (refShape, bound, pin(s.id, e))
+        (refShape, bound, pinEdges(s.id, targetRestrict(e, s.id)))
       }
     }.toMap
+    stats.totalQueries += refMinEdges.valuesIterator.map(_.size).sum +
+      refMaxEdges.valuesIterator.map(_.size).sum +
+      skippedMaxEdges.valuesIterator.map(_.size).sum
+    stats.planMs = (System.nanoTime() - t0) / 1000000L
 
     // Verdict state (T = strictValid, F = invalid), evolving per SCC.
     val state = scala.collection.mutable.Map[String, ShapeVerdict]()
     def curT(id: String): DataFrame = state.get(id).map(_.strictValid).getOrElse(emptyFocus())
+    def emptyMarked(): DataFrame =
+      spark.emptyDataset[(String, Boolean, Boolean)].toDF("focus", "__isF", "__isT")
 
-    /** One evaluation pass of shape `s` against the current T/F state.
-      * Returns (newStrictValid, newInvalid). */
-    def evalShape(s: Shape): (DataFrame, DataFrame) = {
-      val t = targets(s.id)
-      val inv0 = invalid0(s.id)
-      val base = t.join(inv0, Seq("focus"), "left_anti")
-
-      var cur = base
+    /** One evaluation pass of shape `s` against the current T/F state:
+      * returns `marked(focus, __isF, __isT)` over `targets ∖ inv0d`.
+      * (An empty inv0d costs nothing extra: AQE's empty-relation
+      * propagation eliminates the anti-join at runtime.) */
+    def evalShape(s: Shape, inv0d: DataFrame): DataFrame = {
+      var cur = targets(s.id).join(inv0d, Seq("focus"), "left_anti")
       val fConds = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
       val tConds = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
       var idx = 0
 
-      /** One shuffle per ref constraint: left-join the referenced shape's
-        * T/F verdict sets onto the typed edges and aggregate cntT, cntF and
-        * the total typed-object count together. nonF = tot - cntF. */
+      /** One aggregation per ref constraint: left-join the referenced
+        * shape's T/F verdict sets onto the typed edges and aggregate cntT,
+        * cntF and the total typed-object count together (countDistinct —
+        * edges are not pre-deduplicated). nonF = tot - cntF. */
       def joinStats(edges: DataFrame, refId: String): (String, String, String) = {
         idx += 1
         val (tc, fc, tot) = (s"cntT$idx", s"cntF$idx", s"tot$idx")
@@ -259,11 +321,9 @@ final class Validator(
           .join(tSet, Seq("o"), "left")
           .join(fSet, Seq("o"), "left")
           .groupBy($"focus").agg(
-            // edges are distinct (focus, o) pairs, so plain conditional
-            // counts suffice — avoids the multi-countDistinct expand plan
-            count(when($"__t", $"o")).as(tc),
-            count(when($"__f", $"o")).as(fc),
-            count($"o").as(tot))
+            countDistinct(when($"__t", $"o")).as(tc),
+            countDistinct(when($"__f", $"o")).as(fc),
+            countDistinct($"o").as(tot))
         cur = cur.join(st, Seq("focus"), "left")
         (tc, fc, tot)
       }
@@ -281,35 +341,55 @@ final class Validator(
         tConds += (nonF <= c.max)
       }
       skippedMaxEdges(s.id).foreach { case (refShape, bound, e) =>
-        val (tc, _, _) = joinStats(e, refShape)
+        val (tc, fc, tot) = joinStats(e, refShape)
+        val nonF = coalesce(col(tot), lit(0L)) - coalesce(col(fc), lit(0L))
         fConds += (coalesce(col(tc), lit(0L)) > bound)
+        // monotone T-guard: proven valid only once the bound can no longer
+        // be exceeded (cntT grows towards nonF; without this a focus proven
+        // T early could flip to F later — non-monotone, diverging from the
+        // reference where an inferred head is never re-negated)
+        tConds += (nonF <= bound)
       }
 
       val isF = fConds.reduceOption(_ || _).getOrElse(lit(false))
       val isT = !isF && tConds.reduceOption(_ && _).getOrElse(lit(true))
-
-      var marked = cur.withColumn("__isF", isF).withColumn("__isT", isT)
+      cur.withColumn("__isF", isF).withColumn("__isT", isT)
         .select($"focus", $"__isF", $"__isT")
-      if (cyclicIds.contains(s.id)) marked = marked.localCheckpoint(true)
-      val newInvalid = inv0.union(marked.filter($"__isF").select($"focus")).distinct()
-      val newStrict = marked.filter($"__isT").select($"focus")
-      (newStrict, newInvalid)
     }
 
-    val sccs = schema.sccsInEvaluationOrder
     stats.sccCount = sccs.size
     for (scc <- sccs) {
       if (!schema.isCyclic(scc)) {
         val s = schema.byId(scc.head)
-        val (strict, inv) = evalShape(s)
-        state(s.id) = ShapeVerdict(targets(s.id), pin(s.id, strict), pin(s.id, inv))
+        // A10 filtered target extraction: when a referenced neighbor is
+        // already fully evaluated and passes the reference's eligibility
+        // rule (Validation.py:147-175), classify this shape's targets
+        // against the neighbor's valid list and fold the immediately-invalid
+        // ones into inv0 — early violation pruning with identical verdicts
+        // (the planner-knob grid asserts the invariance).
+        var inv0 = invalid0raw(s.id)
+        if (config.selective) {
+          TargetFilter.eligibleNeighbor(s, state.toMap, schema).foreach { ref =>
+            s.minConstraints.find(_.shapeRef.contains(ref)).foreach { c =>
+              val cls = TargetFilter.classify(
+                spark, triples, targets(s.id), c, state(ref).validFinal)
+              inv0 = inv0.union(cls.invalid)
+              stats.prunedShapes += 1
+            }
+          }
+        }
+        val inv0d = pin(s.id, inv0.distinct())
+        val marked = pin(s.id, evalShape(s, inv0d))
+        state(s.id) = ShapeVerdict(targets(s.id), inv0d, marked)
       } else {
         stats.cyclicSccCount += 1
         // 3-valued fixpoint: T and F grow monotonically from (∅, invalid0);
         // iteration mirrors saturate_remaining (Validation.py:417-432).
+        val inv0d = scc.map { id =>
+          id -> invalid0raw(id).distinct().localCheckpoint(true)
+        }.toMap
         scc.foreach { id =>
-          state(id) = ShapeVerdict(targets(id), emptyFocus().localCheckpoint(true),
-            invalid0(id).localCheckpoint(true))
+          state(id) = ShapeVerdict(targets(id), inv0d(id), emptyMarked().localCheckpoint(true))
         }
         var sizes = scc.map(id => (state(id).strictValid.count(), state(id).invalid.count()))
         var converged = false
@@ -317,10 +397,11 @@ final class Validator(
         while (!converged && iter < config.maxIterations) {
           iter += 1
           stats.fixpointIterations += 1
-          val updated = scc.map { id => id -> evalShape(schema.byId(id)) }
-          updated.foreach { case (id, (strict, inv)) =>
-            state(id) = ShapeVerdict(targets(id),
-              strict.localCheckpoint(true), inv.localCheckpoint(true))
+          val updated = scc.map { id =>
+            id -> evalShape(schema.byId(id), inv0d(id)).localCheckpoint(true)
+          }
+          updated.foreach { case (id, marked) =>
+            state(id) = ShapeVerdict(targets(id), inv0d(id), marked)
           }
           val newSizes = scc.map(id => (state(id).strictValid.count(), state(id).invalid.count()))
           converged = newSizes == sizes
@@ -329,6 +410,7 @@ final class Validator(
       }
     }
 
+    stats.evalMs = (System.nanoTime() - t0) / 1000000L - stats.planMs
     ValidationResult(state.toMap, nodeOrder, stats)
   }
 }

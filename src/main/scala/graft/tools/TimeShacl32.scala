@@ -1,0 +1,33 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Scratch timing harness at driver-bench parallelism (local[32]). */
+object TimeShacl32 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger; val stages = new AtomicInteger; val tasks = new AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    })
+    val fn = graft.SparkEntry.queries("q_shacl_validate")
+    for (i <- 1 to 3) {
+      jobs.set(0); stages.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

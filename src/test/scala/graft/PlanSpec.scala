@@ -51,6 +51,77 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
   }
 
+  test("selective knob changes the physical evaluation (A7 target pushdown)") {
+    import graft.shacl._
+    val ns = "http://p.example.org/"
+    val triples = Seq(
+      ("a1", graft.rdf.Rdf.rdfType, ns + "A"), ("a2", graft.rdf.Rdf.rdfType, ns + "A"),
+      ("a1", ns + "p", "x"), ("a2", ns + "p", "y"), ("zz", ns + "p", "w")
+    ).toDF("subj", "pred", "obj")
+    val schema = ShapeSchema(Seq(Shape(ns + "S", Some(ns + "A"), None,
+      Some(s"SELECT ?x WHERE { ?x a <${ns}A> }"),
+      Seq(CardConstraint("c", DirectPath(ns + "p"), min = 1)), Nil, Nil)))
+    def semiJoins(selective: Boolean): Int = {
+      val r = new Validator(spark, triples, schema,
+        ValidatorConfig(selective = selective)).run()
+      val n = "LeftSemi".r.findAllIn(
+        r.verdicts(ns + "S").inv0.queryExecution.optimizedPlan.toString).size
+      r.unpersist(); n
+    }
+    val (on, off) = (semiJoins(true), semiJoins(false))
+    assert(on > off, s"selective=on must add target-pushdown semi-joins (on=$on off=$off)")
+  }
+
+  test("A10 filtered target extraction prunes under selective, not without") {
+    import graft.shacl._
+    val ns = "http://q.example.org/"
+    // OrderShape evaluated first (dependency), small invalid list (<256) →
+    // CustShape's targets are A10-pre-classified when selective is on
+    val rows = Seq(
+      ("o1", graft.rdf.Rdf.rdfType, ns + "O"), ("o2", graft.rdf.Rdf.rdfType, ns + "O"),
+      ("o1", ns + "line", "l1"), // o2 has no line → invalid
+      ("c1", graft.rdf.Rdf.rdfType, ns + "C"), ("c2", graft.rdf.Rdf.rdfType, ns + "C"),
+      ("c1", ns + "has", "o1"), ("c2", ns + "has", "o2"))
+    val triples = rows.toDF("subj", "pred", "obj")
+    val schema = ShapeSchema(Seq(
+      Shape(ns + "CustShape", Some(ns + "C"), None, Some(s"SELECT ?x WHERE { ?x a <${ns}C> }"),
+        Seq(CardConstraint("cc", DirectPath(ns + "has"), min = 1,
+          shapeRef = Some(ns + "OrderShape"))), Nil, Nil),
+      Shape(ns + "OrderShape", Some(ns + "O"), None, Some(s"SELECT ?x WHERE { ?x a <${ns}O> }"),
+        Seq(CardConstraint("oc", DirectPath(ns + "line"), min = 1)), Nil, Nil)))
+    def run(selective: Boolean) =
+      new Validator(spark, triples, schema, ValidatorConfig(selective = selective)).run()
+    val on = run(true)
+    val off = run(false)
+    assert(on.stats.prunedShapes == 1, "A10 pruning must fire under selective")
+    assert(off.stats.prunedShapes == 0, "A10 pruning must not fire when selective is off")
+    // identical verdicts either way
+    def sets(r: ValidationResult) = (
+      r.valid(ns + "CustShape").collect().map(_.getString(0)).toSet,
+      r.invalid(ns + "CustShape").collect().map(_.getString(0)).toSet)
+    assert(sets(on) == sets(off) && sets(on) == (Set("c1"), Set("c2")))
+    on.unpersist(); off.unpersist()
+  }
+
+  test("bucketed triple table: groupBy(subj) aggregates without a shuffle") {
+    val triples = (0 until 1000)
+      .map(i => (s"s${i % 100}", s"http://x/p${i % 3}", s"o$i"))
+      .toDF("subj", "pred", "obj")
+    spark.sql("DROP TABLE IF EXISTS plan_bucketed_triples")
+    // a previous JVM's warehouse dir may survive without catalog metadata —
+    // saveAsTable refuses to create over a non-empty leftover location
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + "/plan_bucketed_triples"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warehouse))
+    TripleStore.writeBucketedTable(triples, "plan_bucketed_triples", buckets = 4)
+    val back = spark.table("plan_bucketed_triples")
+    val agg = back.groupBy($"subj").agg(countDistinct($"obj").as("c"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"groupBy(subj) over the bucketed table must be shuffle-free, got:\n$plan")
+    assert(agg.count() == 100)
+  }
+
   test("extraction and text-analysis expressions stay inside whole-stage codegen") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = docs.select(graft.ops.TextAnalysis.langId($"text").as("l"),

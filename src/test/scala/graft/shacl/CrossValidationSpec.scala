@@ -87,6 +87,38 @@ class CrossValidationSpec extends SparkTestBase {
     }
   }
 
+  // Skipped-max bound inside a dependency cycle: S0 has min 1 AND max 1 over
+  // the SAME referenced shape S1 (so the max query is skipped and the bound
+  // enforced by counting valid refs — core/Shape.py:206-222), while S1
+  // references S0 back, putting both in one cyclic SCC. The valid-ref count
+  // a focus sees GROWS across fixpoint iterations — the case where an
+  // unguarded isT would flip to F later (non-monotone). Cross-validated
+  // against the literal reference-algorithm port.
+  for (seed <- Seq(5L, 17L, 29L, 83L, 131L, 257L)) {
+    test(s"skipped-max bound inside a cycle matches the oracle (seed=$seed)") {
+      val rnd = new Random(seed)
+      val s0 = ns + "S0"; val s1 = ns + "S1"
+      val schema = ShapeSchema(Seq(
+        Shape(s0, Some(ns + "C0"), None, Some(s"SELECT ?x WHERE { ?x a <${ns}C0> }"),
+          Seq(CardConstraint("c00", DirectPath(ns + "p0"), min = 1, shapeRef = Some(s1)),
+            CardConstraint("c01", DirectPath(ns + "p0"), max = 1, shapeRef = Some(s1))), Nil, Nil),
+        Shape(s1, Some(ns + "C1"), None, Some(s"SELECT ?x WHERE { ?x a <${ns}C1> }"),
+          Seq(CardConstraint("c10", DirectPath(ns + "p1"), min = 1, shapeRef = Some(s0))), Nil, Nil)))
+      val data = randomGraph(rnd, schema)
+
+      val order = Traversal.plan(schema, Traversal.DFS)
+      val (oValid, oInvalid) = OracleValidator.validate(schema, data, order)
+      val triples = TripleStore.fromTriples(spark, data)
+      val result = new Validator(spark, triples, schema).run()
+      val sValid = result.verdicts.values.flatMap(_.validFinal.collect().map(_.getString(0))).toSet
+      val sInvalid = result.verdicts.values.flatMap(_.invalid.collect().map(_.getString(0))).toSet
+      assert(sValid == oValid,
+        s"valid mismatch: onlySpark=${sValid -- oValid} onlyOracle=${oValid -- sValid}")
+      assert(sInvalid == oInvalid,
+        s"invalid mismatch: onlySpark=${sInvalid -- oInvalid} onlyOracle=${oInvalid -- sInvalid}")
+    }
+  }
+
   test("oracle reproduces a golden recursion case (sanity anchor)") {
     // recursion/case1a: self-referential qualifiedMinCount 1 over test:toA
     val test = "http://test.example.com/"
