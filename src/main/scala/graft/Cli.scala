@@ -71,6 +71,7 @@ object Cli {
 
       Report.writeVerdicts(spark, result, outDir)
       Report.writeTargetLogs(result, outDir)
+      Report.writeTraces(spark, result, outDir)
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/validationReport.ttl"),
         Report.validationReportTtl(result).getBytes("UTF-8"))
       val stats = Report.statsText(result)

@@ -1,13 +1,16 @@
 package graft.shacl
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Validation-result sinks with reference parity (B13,
-  * Validation.py:545-627): per-shape verdict tables, target logs, a SHACL
-  * `sh:ValidationReport` Turtle document, and run statistics.
-  * Verdict tables go to parquet (the scale path); the TTL report and stats
-  * are small driver-side artifacts.
+  * Validation.py:545-627): per-shape verdict tables, target logs,
+  * `traces.csv`, a SHACL `sh:ValidationReport` Turtle document, and the
+  * reference's run-statistics counters (`stats.txt`,
+  * utils/ValidationStats.py:29-49). Verdict tables and traces go through
+  * distributed writes or bounded iterators — nothing here collects an
+  * unbounded result to the driver.
   */
 object Report {
 
@@ -26,23 +29,57 @@ object Report {
   def writeVerdicts(spark: SparkSession, result: ValidationResult, outDir: String): Unit =
     verdictFrame(spark, result).write.mode(SaveMode.Overwrite).parquet(s"$outDir/verdicts.parquet")
 
+  /** `traces.csv` parity (Validation.register_target, Validation.py:543-544 +
+    * :604-607): one row per registered target with columns
+    * `Shape,Result,Number,Time`. The reference numbers targets by global
+    * registration order and stamps per-target wall-clock; a distributed
+    * engine registers whole shape stages at once, so `Number` is a
+    * per-(shape,result) sequence (a PARTITIONED window — never a global one)
+    * and `Time` is the run's evaluation wall-clock in seconds, constant per
+    * run. Written as a distributed CSV. */
+  def writeTraces(spark: SparkSession, result: ValidationResult, outDir: String): Unit = {
+    val elapsed = (result.stats.planMs + result.stats.evalMs) / 1000.0
+    val w = Window.partitionBy(col("shape"), col("verdict")).orderBy(col("focus"))
+    verdictFrame(spark, result)
+      .withColumn("Number", row_number().over(w))
+      .select(col("shape").as("Shape"), col("verdict").as("Result"),
+        col("Number"), lit(elapsed).as("Time"))
+      .write.mode(SaveMode.Overwrite).option("header", "true")
+      .csv(s"$outDir/traces.csv")
+  }
+
   /** `targets_valid.log` / `targets_violated.log` parity
-    * (Validation.write_targets_to_file): `Shape(<instance>)` lines. */
-  def writeTargetLogs(result: ValidationResult, outDir: String): Unit = {
-    def lines(get: ShapeVerdict => DataFrame): Seq[String] =
-      result.verdicts.toSeq.sortBy(_._1).flatMap { case (shapeId, v) =>
-        get(v).collect().map(r => s"$shapeId(${r.getString(0)}),").sorted
-      }
+    * (Validation.write_targets_to_file): `Shape(<instance>),` lines. Rows
+    * stream through `toLocalIterator` (one partition in driver memory at a
+    * time) and stop at `maxLines` — the reference collects everything, which
+    * is a driver OOM at scale; callers needing the full set use the parquet
+    * verdict table. */
+  def writeTargetLogs(result: ValidationResult, outDir: String,
+                      maxLines: Long = 1000000L): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/targets_valid.log"),
-      lines(_.validFinal).mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/targets_violated.log"),
-      lines(_.invalid).mkString("\n").getBytes("UTF-8"))
+    def writeLog(file: String, get: ShapeVerdict => DataFrame): Unit = {
+      val out = java.nio.file.Files.newBufferedWriter(
+        java.nio.file.Paths.get(s"$outDir/$file"), java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        var n = 0L
+        var first = true
+        for ((shapeId, v) <- result.verdicts.toSeq.sortBy(_._1) if n < maxLines) {
+          val it = get(v).orderBy("focus").toLocalIterator()
+          while (it.hasNext && n < maxLines) {
+            val line = s"$shapeId(${it.next().getString(0)}),"
+            if (!first) out.write("\n")
+            out.write(line); first = false; n += 1
+          }
+        }
+      } finally out.close()
+    }
+    writeLog("targets_valid.log", _.validFinal)
+    writeLog("targets_violated.log", _.invalid)
   }
 
   /** SHACL validation report TTL (Validation.py:609-627). The violation list
-    * is collected to the driver — reports are meant for human consumption;
-    * at scale use the parquet verdict table instead. */
+    * is collected to the driver with a hard cap — reports are meant for
+    * human consumption; at scale use the parquet verdict table instead. */
   def validationReportTtl(result: ValidationResult, maxResults: Int = 10000): String = {
     val violations = result.verdicts.toSeq.sortBy(_._1).flatMap { case (shapeId, v) =>
       v.invalid.limit(maxResults).collect().map(r => (shapeId, r.getString(0)))
@@ -62,15 +99,45 @@ object Report {
     sb.append(" .").toString
   }
 
+  /** Per-shape verdict counts plus every counter the reference's stats file
+    * carries (ValidationStats.write_all_stats, ValidationStats.py:29-49),
+    * with Spark-side meanings:
+    *  - solution mappings  → rows evaluated by the fixpoint (marked-frame
+    *    rows; max = largest single shape) — the engine's working-set
+    *    analogue of the reference's per-query binding counts
+    *  - rules in memory    → the set-algebra engine grounds no explicit
+    *    rules; reported as fixpoint iterations × cyclic shape count (the
+    *    state actually re-derived per round)
+    *  - query time         → plan/compile phase (no queries are shipped)
+    *  - interleaving time  → evaluation wall-clock
+    *  - saturation time    → share of evaluation inside cyclic fixpoints */
   def statsText(result: ValidationResult): String = {
-    val counts = result.verdicts.toSeq.sortBy(_._1).map { case (id, v) =>
-      val valid = v.validFinal.count()
-      val violated = v.invalid.count()
-      s"$id: targets=${valid + violated} valid=$valid violated=$violated"
+    val st = result.stats
+    val perShape = result.verdicts.toSeq.sortBy(_._1).map { case (id, v) =>
+      (id, v.validFinal.count(), v.invalid.count(), v.marked.count())
+    }
+    val valid = perShape.map(_._2).sum
+    val invalid = perShape.map(_._3).sum
+    val mappings = perShape.map(_._4)
+    val counts = perShape.map { case (id, va, in, _) =>
+      s"$id: targets=${va + in} valid=$va violated=$in"
     }
     (counts :+
-      s"sccs: ${result.stats.sccCount} (cyclic: ${result.stats.cyclicSccCount})" :+
-      s"fixpoint iterations: ${result.stats.fixpointIterations}" :+
+      s"all targets: ${valid + invalid}" :+
+      s"valid targets: $valid" :+
+      s"invalid targets: $invalid" :+
+      s"max number of solution mappings for a query: ${if (mappings.isEmpty) 0 else mappings.max}" :+
+      s"total number of solution mappings: ${mappings.sum}" :+
+      s"max number of rules in memory: ${st.fixpointIterations.max(0)}" :+
+      s"total number of rules: ${st.fixpointIterations * result.verdicts.size}" :+
+      s"number of queries: ${st.totalQueries}" :+
+      s"total query exec time: ${st.planMs / 1000.0}" :+
+      s"total interleaving (+ query exec) time: ${st.evalMs / 1000.0}" :+
+      s"total (deferred) saturation time: ${st.saturationMs / 1000.0}" :+
+      s"total time: ${(st.planMs + st.evalMs) / 1000.0}" :+
+      s"sccs: ${st.sccCount} (cyclic: ${st.cyclicSccCount})" :+
+      s"fixpoint iterations: ${st.fixpointIterations}" :+
+      s"pruned shapes (A10): ${st.prunedShapes}" :+
       s"node order: ${result.nodeOrder.mkString(" -> ")}").mkString("\n")
   }
 }

@@ -75,7 +75,18 @@ object ShapeParser {
       val constraintsId = name + "_d1"
       val targetClass = objOf(sn, sh + "targetClass").map(Rdf.str)
       val targetNode = objOf(sn, sh + "targetNode").map(Rdf.str)
-      val targetQuery = targetClass.map(c => s"SELECT ?x WHERE { ?x a <$c> }")
+      // sh:targetQuery (non-standard reference extension) takes precedence
+      // over the query synthesized from sh:targetClass
+      // (reference core/ShapeParser.py:20-23, :164-169); only the restricted
+      // class pattern is compilable — reject anything else at parse time
+      // rather than silently scanning the wrong target set.
+      val customQuery = objOf(sn, sh + "targetQuery").map(Rdf.str)
+      customQuery.foreach { q =>
+        if (TargetQuery.compile(q).isEmpty)
+          sys.error(s"shape $name: unsupported sh:targetQuery (only " +
+            s"'SELECT ?x WHERE { ?x a <C> }' is compilable): $q")
+      }
+      val targetQuery = customQuery.orElse(targetClass.map(TargetQuery.forClass))
 
       var ci = 0
       val cards = Seq.newBuilder[CardConstraint]
@@ -151,7 +162,14 @@ object ShapeParser {
     }
 
     val targetDef = Option(root.get("targetDef"))
-    val targetQuery = targetDef.flatMap(t => Option(t.get("query")).map(_.asText()))
+    // normalize prefixed class terms in the target query to full-IRI form so
+    // the validator's restricted compiler (TargetQuery) can consume it
+    val targetQuery = targetDef.flatMap(t => Option(t.get("query")).map(_.asText())).map { q =>
+      TargetQuery.classTerm(q) match {
+        case Some(term) if !term.startsWith("<") => TargetQuery.forClass(expand(term))
+        case _ => q
+      }
+    }
     val targetClass = targetDef.flatMap(t => Option(t.get("class")).map(n => expand(n.asText())))
     val targetNode = targetDef.flatMap(t => Option(t.get("node")).map(n => expand(n.asText())))
 

@@ -17,6 +17,32 @@ final case class FilterCompare(pred: String, op: String, const: Double) extends 
 /** violation iff the triple ($this, pred, obj) exists */
 final case class HasValue(pred: String, obj: String) extends SparqlViolationPattern
 
+/** A3 — custom target queries (`sh:targetQuery` TTL extension /
+  * JSON `targetDef.query`). The reference ships the user-supplied SELECT to
+  * the endpoint verbatim (core/ShapeParser.py:20-23, used at :166-167); we
+  * compile the restricted single-triple class pattern `?x a <C>` into the
+  * same scan as A1 and reject anything else loudly — arbitrary SPARQL is a
+  * documented non-goal (SURVEY.md §2.A A3). */
+object TargetQuery {
+  private val ClassRe =
+    """(?s)\s*SELECT\s+(?:DISTINCT\s+)?\?x\s+WHERE\s*\{\s*\?x\s+(?:a|<http://www\.w3\.org/1999/02/22-rdf-syntax-ns#type>)\s+(\S+?)\s*(?:\.\s*)?\}\s*""".r
+
+  /** The target-class term of a restricted class-pattern query (raw — may
+    * be `<iri>` or a prefixed name the caller must expand). */
+  def classTerm(query: String): Option[String] = query match {
+    case ClassRe(term) => Some(term)
+    case _ => None
+  }
+
+  /** Compile to a full class IRI; only `<iri>` terms are self-contained. */
+  def compile(query: String): Option[String] =
+    classTerm(query).filter(t => t.startsWith("<") && t.endsWith(">"))
+      .map(t => t.substring(1, t.length - 1))
+
+  /** Canonical restricted query for a class (what A1 synthesizes). */
+  def forClass(cls: String): String = s"SELECT ?x WHERE { ?x a <$cls> }"
+}
+
 object SparqlSelect {
   private val BodyRe = """(?s).*WHERE\s*\{(.*)\}[^}]*""".r
   private val TripleFilterRe =

@@ -63,9 +63,11 @@ final class ValidationStats {
   var totalQueries: Int = 0
   /** shapes whose target sets were pre-filtered via A10 */
   var prunedShapes: Int = 0
-  /** wall-clock: plan/compile phase vs evaluation (incl. saturation) */
+  /** wall-clock: plan/compile phase vs evaluation; saturationMs is the
+    * share of evalMs spent inside cyclic-SCC fixpoint iteration */
   var planMs: Long = 0
   var evalMs: Long = 0
+  var saturationMs: Long = 0
 }
 
 /** Spark-native SHACL validation over a string triple table
@@ -111,12 +113,26 @@ final class Validator(
     case SequencePath(_) => spark.emptyDataset[(String, String)].toDF("focus", "o")
   }
 
-  /** A1 target scan: `SELECT ?x WHERE { ?x a <C> }`. */
-  def targetsOf(shape: Shape): DataFrame = shape.targetClass match {
-    case Some(cls) =>
-      triples.filter($"pred" === Rdf.rdfType && $"obj" === cls)
-        .select($"subj".as("focus")).distinct()
-    case None => spark.emptyDataset[String].toDF("focus")
+  /** A1/A3 target scan. A custom target query (`sh:targetQuery` / JSON
+    * `targetDef.query`) takes precedence over `sh:targetClass` — the
+    * restricted `?x a <C>` pattern compiles to the same scan; anything else
+    * is rejected loudly (reference ships arbitrary SPARQL to the endpoint,
+    * a documented non-goal here). Node-target shapes carry no target query
+    * and are skipped for target retrieval (reference Validation.py:97-98). */
+  def targetsOf(shape: Shape): DataFrame = {
+    val cls = shape.targetQuery match {
+      case Some(q) =>
+        Some(TargetQuery.compile(q).getOrElse(sys.error(
+          s"shape ${shape.id}: unsupported target query (only " +
+            s"'SELECT ?x WHERE { ?x a <C> }' is compilable): $q")))
+      case None => shape.targetClass
+    }
+    cls match {
+      case Some(c) =>
+        triples.filter($"pred" === Rdf.rdfType && $"obj" === c)
+          .select($"subj".as("focus")).distinct()
+      case None => spark.emptyDataset[String].toDF("focus")
+    }
   }
 
   /** A7 selective wrapper: nest the constraint evaluation inside the target
@@ -383,6 +399,7 @@ final class Validator(
         state(s.id) = ShapeVerdict(targets(s.id), inv0d, marked)
       } else {
         stats.cyclicSccCount += 1
+        val tSat = System.nanoTime()
         // 3-valued fixpoint: T and F grow monotonically from (∅, invalid0);
         // iteration mirrors saturate_remaining (Validation.py:417-432).
         val inv0d = scc.map { id =>
@@ -407,6 +424,7 @@ final class Validator(
           converged = newSizes == sizes
           sizes = newSizes
         }
+        stats.saturationMs += (System.nanoTime() - tSat) / 1000000L
       }
     }
 

@@ -119,6 +119,27 @@ class CrossValidationSpec extends SparkTestBase {
     }
   }
 
+  test("golden-style: TTL sh:targetQuery shape validates like its targetClass twin") {
+    // single_shape/case1 re-expressed with ONLY a custom target query (no
+    // sh:targetClass) — the A3 extension path must reproduce the ground truth
+    val test = "http://test.example.com/"
+    val ttl =
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |@prefix test: <$test> .
+         |@prefix : <${test}shapes/> .
+         |:ClassA a sh:NodeShape ;
+         |  sh:targetQuery "SELECT ?x WHERE { ?x a <${test}ClassA> }" ;
+         |  sh:property [ sh:path test:property0 ; sh:minCount 1 ] .
+         |""".stripMargin
+    val schema = ShapeSchema(ShapeParser.parseTtlGraph(graft.rdf.TurtleParser.parse(ttl)))
+    val triples = TripleStore.fromTurtleFile(spark, resource("data/test.ttl"))
+    val result = new Validator(spark, triples, schema).run()
+    val valid = result.valid(test + "shapes/ClassA").collect().map(_.getString(0)).toSet
+    val invalid = result.invalid(test + "shapes/ClassA").collect().map(_.getString(0)).toSet
+    assert(valid == Set(0, 1, 2, 3).map(i => s"${test}ClassA_Instance$i"))
+    assert(invalid == Set(4, 5, 6).map(i => s"${test}ClassA_Instance$i"))
+  }
+
   test("oracle reproduces a golden recursion case (sanity anchor)") {
     // recursion/case1a: self-referential qualifiedMinCount 1 over test:toA
     val test = "http://test.example.com/"

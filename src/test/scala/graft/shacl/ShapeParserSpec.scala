@@ -29,6 +29,42 @@ class ShapeParserSpec extends AnyFunSuite {
       order.indexOf("http://example.org/DepartmentShape"))
   }
 
+  test("TTL sh:targetQuery overrides the synthesized target query") {
+    val ttl =
+      """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        |@prefix ex: <http://ex.org/> .
+        |ex:Q a sh:NodeShape ;
+        |  sh:targetClass ex:Ignored ;
+        |  sh:targetQuery "SELECT ?x WHERE { ?x a <http://ex.org/Actual> }" ;
+        |  sh:property [ sh:path ex:p ; sh:minCount 1 ] .
+        |""".stripMargin
+    val s = ShapeParser.parseTtlGraph(graft.rdf.TurtleParser.parse(ttl)).head
+    assert(s.targetQuery.contains("SELECT ?x WHERE { ?x a <http://ex.org/Actual> }"))
+    assert(TargetQuery.compile(s.targetQuery.get).contains("http://ex.org/Actual"))
+  }
+
+  test("TTL sh:targetQuery outside the restricted pattern is rejected loudly") {
+    val ttl =
+      """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        |@prefix ex: <http://ex.org/> .
+        |ex:Q a sh:NodeShape ;
+        |  sh:targetQuery "SELECT ?x WHERE { ?x ex:p ?y . ?y a <http://ex.org/C> }" ;
+        |  sh:property [ sh:path ex:p ; sh:minCount 1 ] .
+        |""".stripMargin
+    val e = intercept[RuntimeException] {
+      ShapeParser.parseTtlGraph(graft.rdf.TurtleParser.parse(ttl))
+    }
+    assert(e.getMessage.contains("unsupported sh:targetQuery"))
+  }
+
+  test("JSON target queries with prefixed classes normalize to full-IRI form") {
+    val s = ShapeParser.parseJsonFile(
+      "src/test/resources/cases/single_shape/case1/shapes/ClassA.json")
+    assert(s.targetQuery.exists(_.contains("<http://test.example.com/ClassA>")),
+      s"expected normalized query, got ${s.targetQuery}")
+    assert(TargetQuery.compile(s.targetQuery.get).contains("http://test.example.com/ClassA"))
+  }
+
   test("target node shapes parse and are skipped for target retrieval") {
     val ttl =
       """@prefix sh: <http://www.w3.org/ns/shacl#> .
