@@ -109,11 +109,19 @@ object ConnectedComponents {
     parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "component")
   }
 
-  private def checksum(df: DataFrame): (Long, Long) = {
+  /** Convergence signature: count + xor + SUM of row hashes. Xor alone
+    * cancels pairwise (an even number of changed rows with matching hashes
+    * could fake a fixpoint); the wrapping sum breaks that cancellation —
+    * a false positive now needs a simultaneous xor- and sum-collision. */
+  private def checksum(df: DataFrame): (Long, Long, BigDecimal) = {
     import df.sparkSession.implicits._
-    val row = df.select(
+    val h = xxhash64(col("u"), col("v"))
+    df.select(
       count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).as[(Long, Long)].first()
-    row
+      coalesce(bit_xor(h), lit(0L)),
+      // decimal sum: exact and overflow-free under ANSI mode (a plain long
+      // sum of 64-bit hashes throws ArithmeticException at two rows)
+      coalesce(sum(h.cast("decimal(38,0)")), lit(BigDecimal(0)))
+    ).as[(Long, Long, BigDecimal)].first()
   }
 }

@@ -89,19 +89,55 @@ object Similarity {
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
   }
 
+  /** Deterministic distributed k-means (spherical, cosine assignment) for
+    * IVF coarse quantization: seeds are a deterministic hash-based sample
+    * (xxhash64 of the id — no Random, reproducible across runs and
+    * partitionings), then `iters` rounds of assign + mean. Each round is
+    * one join against a broadcast centroid array (k·dim doubles — tiny)
+    * plus one groupBy(cell) aggregation; vectors never leave executors
+    * except the k mean vectors collected per round. */
+  def kMeansCentroids(spark: SparkSession, data: DataFrame, k: Int,
+                      iters: Int = 5): Array[(String, Seq[Double])] = {
+    val dim = data.select(size(col("v"))).head().getInt(0)
+    var centroids: Array[(String, Seq[Double])] = data
+      .withColumn("__r", xxhash64(col("id")))
+      .orderBy(col("__r"), col("id")).limit(k)
+      .select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i.toString, r.getSeq[Any](0).map(x => x.toString.toDouble))
+      }
+    for (_ <- 0 until iters) {
+      val centCol = array(centroids.map { case (cid, v) =>
+        struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+      }: _*)
+      val best = array_max(transform(centCol, c =>
+        struct(cosine(col("v"), c.getField("cv")).as("cos"), c.getField("cid").as("cid"))))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
+      val means = data.withColumn("cell", best.getField("cid"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      // empty cells keep their previous centroid (deterministic)
+      val updated = means.map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getString(0), (0 until dim).map(i => r.getDouble(i + 2) / n))
+      }.toMap
+      centroids = centroids.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
+    }
+    centroids
+  }
+
   /** IVF-style ANN against one query: assign vectors to nProbe nearest of
-    * nCentroids deterministic centroids (sampled rows), search only those
-    * cells. Returns approximate top-k (id, cos). */
+    * nCentroids k-means cells, search only those cells. Returns approximate
+    * top-k (id, cos). */
   def ivfTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 5): DataFrame = {
     import spark.implicits._
     val data = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
-    // deterministic "centroids": first nCentroids rows by id
-    val centroids = data.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("centId"), col("v").as("cv")).collect()
-      .map(r => (r.get(0), r.getSeq[Any](1).map(x => x.toString.toDouble)))
+    val centroids = kMeansCentroids(spark, data, nCentroids, kmeansIters)
     val centArr = centroids.map { case (cid, v) =>
-      struct(lit(cid.toString).as("cid"), array(v.map(lit): _*).as("cv"))
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
     }
     val centCol = array(centArr: _*)
     // assign: per row, the nProbe centroids with max cosine

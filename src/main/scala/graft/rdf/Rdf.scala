@@ -11,7 +11,8 @@ package graft.rdf
 sealed trait Node { def value: String }
 final case class Iri(value: String) extends Node
 final case class BNode(value: String) extends Node
-final case class Lit(value: String, datatype: String = Rdf.xsdString) extends Node
+final case class Lit(value: String, datatype: String = Rdf.xsdString,
+                     lang: Option[String] = None) extends Node
 
 final case class Triple(subj: Node, pred: Iri, obj: Node)
 
@@ -27,6 +28,7 @@ object Rdf {
   val xsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
   val xsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
   val xsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+  val rdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
   val sh = "http://www.w3.org/ns/shacl#"
 
   /** Render a term to the plain string used by the engine (IRIs and literals
@@ -34,7 +36,7 @@ object Rdf {
   def str(n: Node): String = n match {
     case Iri(v)    => v
     case BNode(v)  => "_:" + v
-    case Lit(v, _) => v
+    case Lit(v, _, _) => v
   }
 
   def toStringTriples(ts: Seq[Triple]): Seq[STriple] =

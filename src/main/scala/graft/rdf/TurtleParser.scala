@@ -171,11 +171,13 @@ object TurtleParser {
           expect('"')
           unescape(sb.toString)
         }
-      // optional language tag or datatype
+      // optional language tag or datatype — a language-tagged literal is
+      // rdf:langString carrying its tag (conflating it with a plain string
+      // would lose information round-tripping shapes graphs)
       if (pos < in.length && in.charAt(pos) == '@') {
         pos += 1
-        readWhile(c => c.isLetterOrDigit || c == '-')
-        Lit(lexical, Rdf.xsdString)
+        val tag = readWhile(c => c.isLetterOrDigit || c == '-')
+        Lit(lexical, Rdf.rdfLangString, Some(tag))
       } else if (pos + 1 < in.length && in.charAt(pos) == '^' && in.charAt(pos + 1) == '^') {
         pos += 2
         val dt = if (in.charAt(pos) == '<') parseIriRef() else parsePrefixedNameOrA().value
@@ -183,9 +185,35 @@ object TurtleParser {
       } else Lit(lexical, Rdf.xsdString)
     }
 
-    private def unescape(s: String): String =
-      s.replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
-        .replace("\\\"", "\"").replace("\\\\", "\\")
+    /** Single left-to-right scan — sequential String.replace calls corrupt
+      * inputs like backslash-backslash-n (an ESCAPED backslash followed by a
+      * literal n), turning them into a newline. */
+    private def unescape(s: String): String = {
+      if (s.indexOf('\\') < 0) return s
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case '"' => sb.append('"'); i += 2
+            case '\'' => sb.append('\''); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case 'U' =>
+              sb.appendAll(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16))); i += 10
+            case other => sb.append(other); i += 2 // unknown escape: keep char
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
     private def parseNumericLiteral(): Lit = {
       val start = pos

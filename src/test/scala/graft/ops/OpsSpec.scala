@@ -109,15 +109,29 @@ class OpsSpec extends SparkTestBase {
     assert(frames.count() == vids.map(v => (v.n_frames + 9) / 10).sum)
   }
 
-  test("ivf ann returns plausible approximate neighbors") {
-    val vecs = (0 until 100).map { i =>
+  test("ivf ann with k-means cells reaches recall >= 0.8 vs brute force") {
+    val vecs = (0 until 200).map { i =>
       (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
     }.toDF("vec_id", "embedding")
     val q = Seq.tabulate(8)(j => math.sin(3 * 0.7 + j))
-    val approx = Similarity.ivfTopK(spark, vecs, "vec_id", "embedding", q, 5)
+    val approx = Similarity.ivfTopK(spark, vecs, "vec_id", "embedding", q, 10)
       .collect().map(_.getLong(0)).toSet
-    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
       .collect().map(_.getLong(0)).toSet
-    assert((approx & exact).nonEmpty) // approximate, but overlapping the truth
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall (approx=$approx exact=$exact)")
+  }
+
+  test("k-means centroids are deterministic and partition the corpus") {
+    val data = (0 until 120).map { i =>
+      (i.toString, Seq.tabulate(4)(j => math.cos(i * 1.3 + j)))
+    }.toDF("id", "v")
+    val a = Similarity.kMeansCentroids(spark, data, 8)
+    val b = Similarity.kMeansCentroids(spark, data, 8)
+    assert(a.toSeq == b.toSeq, "k-means must be reproducible across runs")
+    assert(a.length == 8 && a.forall(_._2.length == 4))
+    // iterated centroids must differ from the raw seeds (means moved)
+    val seeds = Similarity.kMeansCentroids(spark, data, 8, iters = 0)
+    assert(a.map(_._2).toSeq != seeds.map(_._2).toSeq)
   }
 }

@@ -23,6 +23,29 @@ class TurtleParserSpec extends AnyFunSuite {
     assert(triples.exists(t => t.subj == s"${test}ClassA_Instance4" && t.obj == "0.8"))
   }
 
+  test("escape sequences unescape in a single left-to-right scan") {
+    // backslash-backslash-n in the source = escaped backslash + literal n,
+    // NOT a newline (the sequential-replace trap)
+    val ttl = "@prefix : <http://e.org/> .\n" +
+      ":s :p \"a\\\\nb\" .\n" +      // source text: a\\nb  → value: a\nb (backslash + n)
+      ":s :q \"c\\nd\" .\n" +        // source text: c\nd   → value: c<newline>d
+      ":s :r \"u\\u0041x\" .\n"      // A → A
+    val ts = TurtleParser.parse(ttl)
+    def lit(pred: String): String =
+      ts.collectFirst { case Triple(_, Iri(p), Lit(v, _, _)) if p == s"http://e.org/$pred" => v }.get
+    assert(lit("p") == "a\\nb", s"got ${lit("p").toList}")
+    assert(lit("q") == "c\nd")
+    assert(lit("r") == "uAx")
+  }
+
+  test("language tags are kept, not silently dropped") {
+    val ttl = "@prefix : <http://e.org/> .\n:s :p \"hello\"@en .\n:s :p \"salut\"@fr-BE .\n:s :p \"plain\" .\n"
+    val lits = TurtleParser.parse(ttl).collect { case Triple(_, _, l: Lit) => l }
+    assert(lits.exists(l => l.value == "hello" && l.lang.contains("en") && l.datatype == Rdf.rdfLangString))
+    assert(lits.exists(l => l.value == "salut" && l.lang.contains("fr-BE")))
+    assert(lits.exists(l => l.value == "plain" && l.lang.isEmpty && l.datatype == Rdf.xsdString))
+  }
+
   test("parses blank node property lists and collections") {
     val ttl =
       """@prefix sh: <http://www.w3.org/ns/shacl#> .
