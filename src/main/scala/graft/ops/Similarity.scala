@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * scale path blocks with random-hyperplane LSH (sign sketches) so only
   * bucket-local pairs are scored.
   *
-  * All vector math uses `zip_with` + `aggregate` higher-order functions —
-  * evaluated inside codegen, no UDFs, vectors never leave the executor.
+  * Vector math runs through a native Catalyst expression
+  * (graft.functions.CosineSimilarity — one fused codegen loop per row);
+  * the `zip_with` + `aggregate` higher-order formulation is kept as the
+  * portable fallback. No UDFs, vectors never leave the executor.
   */
 object Similarity {
 
@@ -23,15 +25,24 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Portable higher-order-function cosine — works without session setup;
+    * the operators below prefer [[cosineNative]] (bit-identical results,
+    * single fused codegen loop instead of interpreted lambda frames). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native Catalyst cosine (graft.functions.CosineSimilarity); requires
+    * [[graft.functions.GraftFunctions.register]] on the session, which every
+    * operator in this object performs. */
+  def cosineNative(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Exact brute-force top-k by cosine against one query vector.
     * One scan + one top-k sort — the correctness baseline.
     * @return (id, cos) ordered by cos desc, id asc (deterministic ties) */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val q = array(query.map(lit): _*)
-    df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("cos"))
+    df.select(col(idCol).as("id"), cosineNative(col(vecCol), q).as("cos"))
       .orderBy(desc("cos"), asc("id"))
       .limit(k)
   }
@@ -41,11 +52,12 @@ object Similarity {
     * a window, keep top-k. */
   def crossTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val scored = q.crossJoin(broadcast(c))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("cid"), cosineNative(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -69,6 +81,7 @@ object Similarity {
     * exact cosine computed. @return (a, b, cos) with a < b */
   def embeddingLshPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
                         bits: Int = 16, bandBits: Int = 4, bucketCap: Int = 2000): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sketch", signSketch(col("v"), bits))
       .localCheckpoint(true)
@@ -86,7 +99,7 @@ object Similarity {
     cand
       .join(sk.select(col("id").as("a"), col("v").as("va")), Seq("a"))
       .join(sk.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("a"), col("b"), cosineNative(col("va"), col("vb")).as("cos"))
   }
 
   /** Deterministic distributed k-means (spherical, cosine assignment) for
@@ -98,6 +111,7 @@ object Similarity {
     * except the k mean vectors collected per round. */
   def kMeansCentroids(spark: SparkSession, data: DataFrame, k: Int,
                       iters: Int = 5): Array[(String, Seq[Double])] = {
+    graft.functions.GraftFunctions.register(spark)
     val dim = data.select(size(col("v"))).head().getInt(0)
     var centroids: Array[(String, Seq[Double])] = data
       .withColumn("__r", xxhash64(col("id")))
@@ -111,7 +125,7 @@ object Similarity {
         struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
       }: _*)
       val best = array_max(transform(centCol, c =>
-        struct(cosine(col("v"), c.getField("cv")).as("cos"), c.getField("cid").as("cid"))))
+        struct(cosineNative(col("v"), c.getField("cv")).as("cos"), c.getField("cid").as("cid"))))
       val sums = (0 until dim).map(i =>
         sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
       val means = data.withColumn("cell", best.getField("cid"))
@@ -134,6 +148,7 @@ object Similarity {
               query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               kmeansIters: Int = 5): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val data = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
     val centroids = kMeansCentroids(spark, data, nCentroids, kmeansIters)
     val centArr = centroids.map { case (cid, v) =>
@@ -143,14 +158,14 @@ object Similarity {
     // assign: per row, the nProbe centroids with max cosine
     val assigned = data.withColumn("cells",
       slice(reverse(array_sort(transform(centCol, c =>
-        struct(cosine(col("v"), c.getField("cv")).as("cos"), c.getField("cid").as("cid"))))), 1, nProbe))
+        struct(cosineNative(col("v"), c.getField("cv")).as("cos"), c.getField("cid").as("cid"))))), 1, nProbe))
       .select(col("id"), col("v"), explode(col("cells.cid")).as("cell"))
     val q = array(query.map(lit): _*)
     val qCells = centroids.map { case (cid, v) =>
       (cid.toString, Similarity.cosSeq(v, query))
     }.sortBy(-_._2).take(nProbe).map(_._1).toSet
     assigned.filter(col("cell").isin(qCells.toSeq: _*))
-      .select(col("id"), cosine(col("v"), q).as("cos")).distinct()
+      .select(col("id"), cosineNative(col("v"), q).as("cos")).distinct()
       .orderBy(desc("cos"), asc("id")).limit(k)
   }
 

@@ -122,6 +122,27 @@ class PlanSpec extends SparkTestBase {
     assert(agg.count() == 100)
   }
 
+  test("native cosine expression: bit-identical to the HOF form, codegen'd") {
+    import graft.ops.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(16)(j => math.sin(i * 0.9 + j).toFloat))
+    }.toDF("id", "v")
+    val q = array(Seq.tabulate(16)(j => lit(math.cos(j * 0.3))): _*)
+    val both = vecs.select(
+      Similarity.cosineNative($"v", q).as("native"),
+      Similarity.cosine($"v", q).as("hof")).collect()
+    // identical accumulation order → bit-identical doubles
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "native cosine must reproduce the HOF result exactly")
+    val plan = vecs.select(Similarity.cosineNative($"v", q).as("c"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(plan.contains("WholeStageCodegen"), s"expected codegen, got:\n${plan.take(500)}")
+    assert(!plan.contains("cosinesimilarity_doGenCode_fallback"),
+      "native cosine must not fall back to interpreted eval")
+  }
+
   test("extraction and text-analysis expressions stay inside whole-stage codegen") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = docs.select(graft.ops.TextAnalysis.langId($"text").as("l"),
