@@ -1,0 +1,133 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.rdf.TripleStore
+import graft.shacl._
+import org.apache.spark.sql.SparkSession
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+
+/** Web-service entry point — the reference's third lifecycle
+  * (Flask `POST /validate`, TravSHACL/app/__init__.py:20-45): accepts form
+  * params `schemaDir` and `dataPath` (triple parquet or Turtle file),
+  * validates with the reference's fixed service configuration (DFS,
+  * heuristics TARGET IN BIG, selective=true — app/__init__.py:14-18) and
+  * returns a JSON document of per-shape verdicts.
+  *
+  * Built on the JDK's HttpServer — no additional dependencies. One shared
+  * SparkSession serves all requests (the reference resets its endpoint
+  * singleton per request; a SparkSession is request-safe as-is).
+  *
+  *   runMain graft.Service [port]        (default 8080)
+  *   curl -X POST localhost:8080/validate \
+  *     -d 'schemaDir=...&dataPath=...&maxInstances=100'
+  */
+object Service {
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Run one validation and render the reference's response payload
+    * (shape -> valid/violated instance lists) as JSON. */
+  def validateToJson(spark: SparkSession, schemaDir: String, dataPath: String,
+                     maxInstances: Int = 1000): String = {
+    val triples =
+      if (dataPath.endsWith(".ttl")) TripleStore.fromTurtleFile(spark, dataPath)
+      else TripleStore.readParquet(spark, dataPath)
+    val schema = ShapeParser.parseDir(schemaDir)
+    // fixed service config, reference app/__init__.py:14-18
+    val result = new Validator(spark, triples, schema,
+      ValidatorConfig(selective = true, traversal = Traversal.DFS,
+        heuristics = Traversal.DefaultHeuristics)).run()
+    val shapes = result.verdicts.toSeq.sortBy(_._1).map { case (id, v) =>
+      def list(df: org.apache.spark.sql.DataFrame): String =
+        df.orderBy("focus").limit(maxInstances).collect()
+          .map(r => "\"" + jsonEscape(r.getString(0)) + "\"").mkString("[", ",", "]")
+      val valid = v.validFinal.count()
+      val violated = v.invalid.count()
+      s"""    "${jsonEscape(id)}": {
+         |      "targets": ${valid + violated},
+         |      "valid": $valid,
+         |      "violated": $violated,
+         |      "valid_instances": ${list(v.validFinal)},
+         |      "invalid_instances": ${list(v.invalid)}
+         |    }""".stripMargin
+    }
+    val conforms = result.verdicts.values.forall(_.invalid.isEmpty)
+    val out =
+      s"""{
+         |  "conforms": $conforms,
+         |  "node_order": [${result.nodeOrder.map(n => "\"" + jsonEscape(n) + "\"").mkString(",")}],
+         |  "shapes": {
+         |${shapes.mkString(",\n")}
+         |  }
+         |}""".stripMargin
+    result.unpersist()
+    out
+  }
+
+  private def parseForm(body: String): Map[String, String] =
+    body.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+    }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String, mime: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", s"$mime; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  def makeServer(spark: SparkSession, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/validate", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        if (ex.getRequestMethod != "POST") {
+          respond(ex, 405, """{"error":"POST only"}""")
+        } else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val form = parseForm(body)
+          (form.get("schemaDir"), form.get("dataPath")) match {
+            case (Some(schemaDir), Some(dataPath)) =>
+              val maxInstances = form.get("maxInstances").map(_.toInt).getOrElse(1000)
+              respond(ex, 200, validateToJson(spark, schemaDir, dataPath, maxInstances))
+            case _ =>
+              respond(ex, 400, """{"error":"missing form params schemaDir and dataPath"}""")
+          }
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+      }
+    })
+    server.createContext("/health", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = respond(ex, 200, """{"status":"ok"}""")
+    })
+    server
+  }
+
+  def main(args: Array[String]): Unit = {
+    val port = if (args.nonEmpty) args(0).toInt else 8080
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-shacl-service")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = makeServer(spark, port)
+    server.start()
+    println(s"graft validation service listening on http://127.0.0.1:$port (POST /validate)")
+    Thread.currentThread().join()
+  }
+}
