@@ -52,7 +52,15 @@ object Extraction {
     * and re-captured per group — the full-corpus regex scan runs exactly
     * once, the per-group extracts only touch ~60-char match strings. */
   def facts(turns: DataFrame): DataFrame =
-    turns.select(col("conv_id"), col("turn_idx"),
+    turns
+      // cheap substring prefilter before the (expensive) regex: a turn with
+      // no trigger phrase cannot contain a fact, and filler/padding-only
+      // turns are a third of the corpus — `contains` is a vectorized
+      // byte-scan, an order of magnitude cheaper than the alternation regex.
+      // Purely an optimization: the regex still decides on survivors.
+      .filter((relTriggerToPred.keys.toSeq.sorted :+ "is a")
+        .map(t => col("text").contains(t)).reduce(_ || _))
+      .select(col("conv_id"), col("turn_idx"),
         explode(regexp_extract_all(col("text"), lit(factPattern), lit(0))).as("sent"))
       .select(col("conv_id"), col("turn_idx"),
         regexp_extract(col("sent"), factPattern, 1).as("subjSurface"),

@@ -7,6 +7,7 @@ import java.util.concurrent.atomic.AtomicInteger
 object TimeShacl32 {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val query = if (args.length > 1) args(1) else "q_shacl_validate"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -20,7 +21,7 @@ object TimeShacl32 {
         stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
       }
     })
-    val fn = graft.SparkEntry.queries("q_shacl_validate")
+    val fn = graft.SparkEntry.queries(query)
     for (i <- 1 to 3) {
       jobs.set(0); stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
