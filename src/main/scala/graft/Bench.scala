@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Headline subset: one per operator family (full coverage runs in Verify). */
   private val headline = Seq(
-    "q_shacl_validate", "q_min_card", "q_or_union", "q_filtered_target_classify",
+    "q_shacl_validate", "q_shacl_validate_bucketed", "q_min_card", "q_or_union", "q_filtered_target_classify",
     "q_agg_pricing_summary", "q_join_star", "q_window_first_event",
     "q_stream_window_batch", "q_dedup_exact", "q_dedup_minhash_pairs",
     "q_dedup_simhash_pairs", "q_ann_bruteforce_topk", "q_ann_lsh_pairs",

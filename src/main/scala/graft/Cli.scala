@@ -76,6 +76,8 @@ object Cli {
         Report.validationReportTtl(result).getBytes("UTF-8"))
       val stats = Report.statsText(result)
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/stats.txt"), stats.getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/validation.log"),
+        Report.validationLog(result).getBytes("UTF-8"))
       println(stats)
     } finally spark.stop()
   }

@@ -45,15 +45,31 @@ object SparkEntry {
         concat(lit("o"), col("l_orderkey"), lit("l"), col("l_linenumber")).as("obj")))
   }
 
-  private def shaclValidate(spark: SparkSession, dir: String): DataFrame = {
-    val schema = ShapeSchema(Seq(
-      Shape("CustomerShape", Some("Customer"), None, Some("SELECT ?x WHERE { ?x a <Customer> }"),
-        Seq(CardConstraint("cust_c1", DirectPath("hasOrder"), min = 1,
-          shapeRef = Some("OrderShape"))), Nil, Nil),
-      Shape("OrderShape", Some("Order"), None, Some("SELECT ?x WHERE { ?x a <Order> }"),
-        Seq(CardConstraint("order_c1", DirectPath("hasLine"), min = 5)), Nil, Nil)))
-    val result = new Validator(spark, asTriples(spark, dir), schema).run()
-    Report.verdictFrame(spark, result)
+  private def benchShapes: ShapeSchema = ShapeSchema(Seq(
+    Shape("CustomerShape", Some("Customer"), None, Some("SELECT ?x WHERE { ?x a <Customer> }"),
+      Seq(CardConstraint("cust_c1", DirectPath("hasOrder"), min = 1,
+        shapeRef = Some("OrderShape"))), Nil, Nil),
+    Shape("OrderShape", Some("Order"), None, Some("SELECT ?x WHERE { ?x a <Order> }"),
+      Seq(CardConstraint("order_c1", DirectPath("hasLine"), min = 5)), Nil, Nil)))
+
+  private def shaclValidate(spark: SparkSession, dir: String): DataFrame =
+    Report.verdictFrame(spark,
+      new Validator(spark, asTriples(spark, dir), benchShapes).run())
+
+  /** Same validation routed through the north-rule storage layout: a
+    * pred-partitioned, subject-bucketed catalog table
+    * (TripleStore.writeBucketedTable) — partition pruning per constraint
+    * path and shuffle-free groupBy(subj) at any scale. Verdicts (and the
+    * DuckDB oracle) are identical to q_shacl_validate. */
+  private def shaclValidateBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_bench_triples_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // a previous JVM's warehouse dir may survive without catalog metadata
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$tbl"))
+    graft.rdf.TripleStore.writeBucketedTable(asTriples(spark, dir), tbl)
+    val triples = spark.table(tbl).select(col("subj"), col("pred"), col("obj"))
+    Report.verdictFrame(spark, new Validator(spark, triples, benchShapes).run())
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -138,6 +154,8 @@ object SparkEntry {
         .orderBy(col("focus")).limit(20)),
 
     "q_shacl_validate" -> ((s, d) => shaclValidate(s, d)),
+
+    "q_shacl_validate_bucketed" -> ((s, d) => shaclValidateBucketed(s, d)),
 
     // ---------------- B: engine dataflow / relational core ----------------
     "q_groupby_countdistinct" -> ((s, d) =>
@@ -325,6 +343,21 @@ object SparkEntry {
       "SELECT c_custkey AS focus, c_name FROM customer ORDER BY c_custkey LIMIT 20",
 
     "q_shacl_validate" ->
+      """WITH valid_orders AS (
+           SELECT l_orderkey AS ok FROM lineitem GROUP BY l_orderkey
+           HAVING COUNT(DISTINCT l_linenumber) >= 5)
+         SELECT 'OrderShape' AS shape, 'o' || o_orderkey AS focus,
+                CASE WHEN o_orderkey IN (SELECT ok FROM valid_orders)
+                     THEN 'valid' ELSE 'violated' END AS verdict
+         FROM orders
+         UNION ALL
+         SELECT 'CustomerShape' AS shape, 'c' || c_custkey AS focus,
+                CASE WHEN c_custkey IN (
+                       SELECT o_custkey FROM orders WHERE o_orderkey IN (SELECT ok FROM valid_orders))
+                     THEN 'valid' ELSE 'violated' END AS verdict
+         FROM customer""",
+
+    "q_shacl_validate_bucketed" ->
       """WITH valid_orders AS (
            SELECT l_orderkey AS ok FROM lineitem GROUP BY l_orderkey
            HAVING COUNT(DISTINCT l_linenumber) >= 5)

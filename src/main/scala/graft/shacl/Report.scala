@@ -99,6 +99,22 @@ object Report {
     sb.append(" .").toString
   }
 
+  /** `validation.log` parity (Validation.validation_output writes the
+    * stats log + global valid/invalid totals): per-shape progress lines,
+    * node order, and the final target totals. */
+  def validationLog(result: ValidationResult): String = {
+    val perShape = result.verdicts.toSeq.sortBy(_._1).map { case (id, v) =>
+      s"Evaluated shape $id: valid=${v.validFinal.count()} violated=${v.invalid.count()}"
+    }
+    val valid = result.verdicts.values.map(_.validFinal.count()).sum
+    val invalid = result.verdicts.values.map(_.invalid.count()).sum
+    (Seq(s"Node order: ${result.nodeOrder.mkString(", ")}") ++ perShape ++ Seq(
+      s"Shapes evaluated: ${result.verdicts.size}",
+      s"Fixpoint iterations: ${result.stats.fixpointIterations}",
+      s"Valid targets: $valid",
+      s"Invalid targets: $invalid")).mkString("\n")
+  }
+
   /** Per-shape verdict counts plus every counter the reference's stats file
     * carries (ValidationStats.write_all_stats, ValidationStats.py:29-49),
     * with Spark-side meanings:
