@@ -40,7 +40,8 @@ final case class ShapeVerdict(targets: DataFrame, inv0: DataFrame, marked: DataF
 final case class ValidationResult(
     verdicts: Map[String, ShapeVerdict],
     nodeOrder: Seq[String],
-    stats: ValidationStats
+    stats: ValidationStats,
+    sharedCached: Seq[DataFrame] = Nil
 ) {
   def valid(shapeId: String): DataFrame = verdicts(shapeId).validFinal
   def invalid(shapeId: String): DataFrame = verdicts(shapeId).invalid
@@ -48,8 +49,11 @@ final case class ValidationResult(
   /** Release cached verdict/target frames once consumers have materialized
     * their outputs — long-lived sessions running many validations would
     * otherwise accumulate executor storage. */
-  def unpersist(): Unit = verdicts.values.foreach { v =>
-    v.targets.unpersist(); v.inv0.unpersist(); v.marked.unpersist()
+  def unpersist(): Unit = {
+    verdicts.values.foreach { v =>
+      v.targets.unpersist(); v.inv0.unpersist(); v.marked.unpersist()
+    }
+    sharedCached.foreach(_.unpersist())
   }
 }
 
@@ -258,10 +262,36 @@ final class Validator(
     def pin(id: String, df: DataFrame): DataFrame =
       if (cyclicIds.contains(id)) df.localCheckpoint(true) else df.persist()
 
-    // Static per-shape artifacts
+    // Static per-shape artifacts. With enough shapes, ALL target scans
+    // share ONE type-scan + distinct over (class, subj) — per-shape target
+    // sets become lazy filters of the single cached frame, so a 50-shape
+    // schema pays one shuffle for target retrieval instead of 50. Small
+    // schemas keep per-shape scans (the narrower obj===cls pushdown beats
+    // the shared frame's bookkeeping when there is nothing to amortize —
+    // measured ~20% on the 2-shape bench schema).
+    val targetClassOf: Map[String, String] = schema.shapes.flatMap { s =>
+      val cls = s.targetQuery match {
+        case Some(q) => TargetQuery.compile(q)
+        case None => s.targetClass
+      }
+      cls.map(s.id -> _)
+    }.toMap
+    val useSharedScan = targetClassOf.size >= 4
+    val sharedScan: Option[DataFrame] =
+      if (!useSharedScan) None
+      else {
+        val classes = targetClassOf.values.toSeq.distinct
+        val base = triples.filter($"pred" === Rdf.rdfType && $"obj".isin(classes: _*))
+          .select($"obj".as("cls"), $"subj".as("focus")).distinct()
+        Some(if (cyclicIds.nonEmpty) base.localCheckpoint(true) else base.persist())
+      }
     val targets: Map[String, DataFrame] = schema.shapes.map { s =>
       stats.totalQueries += 1
-      s.id -> pin(s.id, targetsOf(s))
+      val frame = (sharedScan, targetClassOf.get(s.id)) match {
+        case (Some(scan), Some(c)) => scan.filter($"cls" === c).select($"focus")
+        case _ => pin(s.id, targetsOf(s))
+      }
+      s.id -> frame
     }.toMap
 
     // 2-valued immediately-invalid sets. NOT deduplicated here — the final
@@ -429,6 +459,6 @@ final class Validator(
     }
 
     stats.evalMs = (System.nanoTime() - t0) / 1000000L - stats.planMs
-    ValidationResult(state.toMap, nodeOrder, stats)
+    ValidationResult(state.toMap, nodeOrder, stats, sharedCached = sharedScan.toSeq)
   }
 }
