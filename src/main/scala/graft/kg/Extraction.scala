@@ -51,7 +51,12 @@ object Extraction {
     * non-overlapping match, then the (short) matched sentences are exploded
     * and re-captured per group — the full-corpus regex scan runs exactly
     * once, the per-group extracts only touch ~60-char match strings. */
-  def facts(turns: DataFrame): DataFrame =
+  def facts(turns: DataFrame): DataFrame = factsWith(turns, Nil)
+
+  /** `facts` carrying extra pass-through columns (e.g. `ts` for streaming
+    * windowed metrics). */
+  def factsWith(turns: DataFrame, carry: Seq[String]): DataFrame = {
+    val keyCols = Seq(col("conv_id"), col("turn_idx")) ++ carry.map(col)
     turns
       // cheap substring prefilter before the (expensive) regex: a turn with
       // no trigger phrase cannot contain a fact, and filler/padding-only
@@ -60,18 +65,19 @@ object Extraction {
       // Purely an optimization: the regex still decides on survivors.
       .filter((relTriggerToPred.keys.toSeq.sorted :+ "is a")
         .map(t => col("text").contains(t)).reduce(_ || _))
-      .select(col("conv_id"), col("turn_idx"),
-        explode(regexp_extract_all(col("text"), lit(factPattern), lit(0))).as("sent"))
-      .select(col("conv_id"), col("turn_idx"),
+      .select(keyCols :+
+        explode(regexp_extract_all(col("text"), lit(factPattern), lit(0))).as("sent"): _*)
+      .select(keyCols ++ Seq(
         regexp_extract(col("sent"), factPattern, 1).as("subjSurface"),
         regexp_extract(col("sent"), factPattern, 2).as("trigger"),
-        regexp_extract(col("sent"), factPattern, 3).as("objRaw"))
+        regexp_extract(col("sent"), factPattern, 3).as("objRaw")): _*)
       .filter(col("subjSurface") =!= "")
-      .select(col("conv_id"), col("turn_idx"), col("subjSurface"),
+      .select(keyCols ++ Seq(col("subjSurface"),
         when(col("trigger") === "is a", lit(graft.rdf.Rdf.rdfType))
           .otherwise(element_at(mapLit(relTriggerToPred), col("trigger"))).as("pred"),
         when(col("trigger") =!= "is a", col("objRaw")).as("objSurface"),
-        when(col("trigger") === "is a", element_at(mapLit(kindWordToClass), col("objRaw"))).as("cls"))
+        when(col("trigger") === "is a", element_at(mapLit(kindWordToClass), col("objRaw"))).as("cls")): _*)
+  }
 
   /** Binary relations view over `facts`. */
   def relations(turns: DataFrame): DataFrame =
