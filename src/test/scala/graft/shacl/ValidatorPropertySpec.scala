@@ -62,4 +62,39 @@ class ValidatorPropertySpec extends SparkTestBase {
       assert((valid | invalid) == targets)
     }
   }
+
+  test("A15 datatype enforcement is opt-in and filters by lexical form") {
+    val ns = "http://dt.example.org/"
+    val triples = TripleStore.fromTriples(spark, Seq(
+      STriple("i1", Rdf.rdfType, ns + "C"), STriple("i2", Rdf.rdfType, ns + "C"),
+      STriple("i1", ns + "p", "1989"),       // integer-shaped
+      STriple("i2", ns + "p", "not-a-number")))
+    val schema = ShapeSchema(Seq(Shape(ns + "S", Some(ns + "C"), None,
+      Some(s"SELECT ?x WHERE { ?x a <${ns}C> }"),
+      Seq(CardConstraint("c", DirectPath(ns + "p"), min = 1,
+        datatype = Some("http://www.w3.org/2001/XMLSchema#integer"))), Nil, Nil)))
+    // default: datatype dead (reference parity) -> both valid
+    val off = new Validator(spark, triples, schema).run()
+    assert(off.valid(ns + "S").count() == 2)
+    // enforced: only the integer-shaped object counts
+    val on = new Validator(spark, triples, schema,
+      ValidatorConfig(enforceDatatype = true)).run()
+    assert(on.valid(ns + "S").collect().map(_.getString(0)).toSet == Set("i1"))
+    assert(on.invalid(ns + "S").collect().map(_.getString(0)).toSet == Set("i2"))
+  }
+
+  test("A16 constant-equality constraint counts only the fixed value") {
+    val ns = "http://cv.example.org/"
+    val triples = TripleStore.fromTriples(spark, Seq(
+      STriple("i1", Rdf.rdfType, ns + "C"), STriple("i2", Rdf.rdfType, ns + "C"),
+      STriple("i1", ns + "p", "wanted"),
+      STriple("i2", ns + "p", "other")))
+    val schema = ShapeSchema(Seq(Shape(ns + "S", Some(ns + "C"), None,
+      Some(s"SELECT ?x WHERE { ?x a <${ns}C> }"),
+      Seq(CardConstraint("c", DirectPath(ns + "p"), min = 1,
+        value = Some("wanted"))), Nil, Nil)))
+    val r = new Validator(spark, triples, schema).run()
+    assert(r.valid(ns + "S").collect().map(_.getString(0)).toSet == Set("i1"))
+    assert(r.invalid(ns + "S").collect().map(_.getString(0)).toSet == Set("i2"))
+  }
 }
