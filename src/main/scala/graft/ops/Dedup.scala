@@ -30,7 +30,7 @@ object Dedup {
   def minHashNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 5, numHashes: Int = 16, rowsPerBand: Int = 4,
                           threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame = {
-    val sh = TextSim.charShingles(df, idCol, textCol, shingleSize).localCheckpoint(true)
+    val sh = TextSim.charShingles(df, idCol, textCol, shingleSize).persist()
     val sig = TextSim.minHashSignatures(sh, numHashes)
     val cand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
     jaccardOnPairs(cand, sh).filter(col("jaccard") >= threshold)
@@ -64,7 +64,7 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
                         threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
-    val grams = wordNgrams(df, idCol, textCol, n).localCheckpoint(true)
+    val grams = wordNgrams(df, idCol, textCol, n).persist()
     val sig = TextSim.minHashSignatures(grams, numHashes)
     val cand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
     jaccardOnPairs(cand, grams).filter(col("jaccard") >= threshold)
@@ -92,7 +92,7 @@ object Dedup {
     * with exact Hamming distance via bit_count(xor). */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(df, idCol, textCol).localCheckpoint(true)
+    val sh = simHash(df, idCol, textCol).persist()
     val bandKeys = (0 until 4).map { b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
@@ -123,7 +123,7 @@ object Dedup {
                            n: Int = 3, threshold: Double = 0.8,
                            numHashes: Int = 16, rowsPerBand: Int = 2,
                            bucketCap: Int = 1000): DataFrame = {
-    val sh = simHash(df, idCol, textCol).localCheckpoint(true)
+    val sh = simHash(df, idCol, textCol).persist()
     val bandKeys = (0 until 4).map { b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
@@ -132,7 +132,7 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
-    val grams = wordNgrams(df, idCol, textCol, n).localCheckpoint(true)
+    val grams = wordNgrams(df, idCol, textCol, n).persist()
     val sig = TextSim.minHashSignatures(grams, numHashes)
     val minCand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
     val cand = simCand.union(minCand).distinct()

@@ -84,7 +84,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sketch", signSketch(col("v"), bits))
-      .localCheckpoint(true)
+      .persist()
     val bandKeys = (0 until bits / bandBits).map { b =>
       shiftrightunsigned(col("sketch"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
     }
