@@ -141,8 +141,10 @@ object Pipeline {
   def precisionRecall(out: DataFrame, expected: DataFrame): (Double, Double) = {
     val o = out.select("subj", "pred", "obj").distinct().cache()
     val e = expected.select("subj", "pred", "obj").distinct().cache()
-    val inter = o.join(e, Seq("subj", "pred", "obj"), "left_semi").count().toDouble
-    val (oc, ec) = (o.count(), e.count())
-    (if (oc == 0) 0.0 else inter / oc, if (ec == 0) 0.0 else inter / ec)
+    try {
+      val inter = o.join(e, Seq("subj", "pred", "obj"), "left_semi").count().toDouble
+      val (oc, ec) = (o.count(), e.count())
+      (if (oc == 0) 0.0 else inter / oc, if (ec == 0) 0.0 else inter / ec)
+    } finally { o.unpersist(); e.unpersist() }
   }
 }

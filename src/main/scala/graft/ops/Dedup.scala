@@ -97,10 +97,7 @@ object Dedup {
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
     val bands = sh.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
-    val cand = bands.as("l").join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    val cand = TextSim.candidatePairs(bands)
     cand
       .join(sh.select(col("id").as("a"), col("simhash").as("ha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("simhash").as("hb")), Seq("b"))
@@ -128,10 +125,9 @@ object Dedup {
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
     val bands = sh.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
-    val simCand = bands.as("l").join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
+    // same hub-bucket cap as every other blocker: a degenerate band key
+    // shared by millions of docs must not go quadratic
+    val simCand = TextSim.candidatePairs(bands, bucketCap)
     val grams = wordNgrams(df, idCol, textCol, n).persist()
     val sig = TextSim.minHashSignatures(grams, numHashes)
     val minCand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)

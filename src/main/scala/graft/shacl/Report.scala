@@ -1,6 +1,5 @@
 package graft.shacl
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -32,18 +31,17 @@ object Report {
   /** `traces.csv` parity (Validation.register_target, Validation.py:543-544 +
     * :604-607): one row per registered target with columns
     * `Shape,Result,Number,Time`. The reference numbers targets by global
-    * registration order and stamps per-target wall-clock; a distributed
-    * engine registers whole shape stages at once, so `Number` is a
-    * per-(shape,result) sequence (a PARTITIONED window — never a global one)
-    * and `Time` is the run's evaluation wall-clock in seconds, constant per
-    * run. Written as a distributed CSV. */
+    * registration order and stamps per-target wall-clock; ANY contiguous
+    * sequence needs single-task processing of its group (the same
+    * pathology as a global window), so `Number` is
+    * monotonically_increasing_id — unique and fully parallel, not
+    * contiguous — and `Time` is the run's wall-clock in seconds, constant
+    * per run. Written as a distributed CSV. */
   def writeTraces(spark: SparkSession, result: ValidationResult, outDir: String): Unit = {
     val elapsed = (result.stats.planMs + result.stats.evalMs) / 1000.0
-    val w = Window.partitionBy(col("shape"), col("verdict")).orderBy(col("focus"))
     verdictFrame(spark, result)
-      .withColumn("Number", row_number().over(w))
       .select(col("shape").as("Shape"), col("verdict").as("Result"),
-        col("Number"), lit(elapsed).as("Time"))
+        monotonically_increasing_id().as("Number"), lit(elapsed).as("Time"))
       .write.mode(SaveMode.Overwrite).option("header", "true")
       .csv(s"$outDir/traces.csv")
   }
