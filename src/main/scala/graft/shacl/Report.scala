@@ -40,6 +40,9 @@ object Report {
   def writeTraces(spark: SparkSession, result: ValidationResult, outDir: String): Unit = {
     val elapsed = (result.stats.planMs + result.stats.evalMs) / 1000.0
     verdictFrame(spark, result)
+      // the union stacks partitions from every verdict branch — coalesce
+      // (no shuffle) to one file per core so the artifact stays browsable
+      .coalesce(spark.sparkContext.defaultParallelism)
       .select(col("shape").as("Shape"), col("verdict").as("Result"),
         monotonically_increasing_id().as("Number"), lit(elapsed).as("Time"))
       .write.mode(SaveMode.Overwrite).option("header", "true")
