@@ -290,6 +290,32 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB oracle for q_lang_id, generated from the SAME marker table the
+    * Spark operator uses (TextAnalysis.langMarkers) — no drift possible. */
+  private def langIdOracleSql: String = {
+    val langs = TextAnalysis.langMarkers
+    val counts = langs.map { case (lang, markers) =>
+      val inList = markers.map(m => s"'$m'").mkString(",")
+      s"len(list_filter(words, x -> x IN ($inList))) AS c_$lang"
+    }.mkString(",\n                  ")
+    val all = langs.map { case (lang, _) => s"c_$lang" }.mkString(", ")
+    val cases = langs.map { case (lang, _) =>
+      s"WHEN c_$lang > 0 AND c_$lang = greatest($all) THEN '$lang'"
+    }.mkString("\n                     ")
+    s"""WITH w AS (
+           SELECT doc_id AS id,
+                  list_filter(string_split_regex(lower(text), '[^a-zà-ÿ]+'), x -> len(x) > 0) AS words
+           FROM documents),
+         c AS (
+           SELECT id,
+                  $counts
+           FROM w)
+         SELECT id,
+                CASE $cases
+                     ELSE 'und' END AS lang_pred
+         FROM c"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_target_scan" ->
       "SELECT DISTINCT o_custkey AS focus FROM orders",
@@ -450,25 +476,7 @@ object SparkEntry {
                       (CASE WHEN pr <= 0.1 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
          FROM r""",
 
-    "q_lang_id" ->
-      """WITH w AS (
-           SELECT doc_id AS id,
-                  list_filter(string_split_regex(lower(text), '[^a-zà-ÿ]+'), x -> len(x) > 0) AS words
-           FROM documents),
-         c AS (
-           SELECT id,
-                  len(list_filter(words, x -> x IN ('the','and','of','to','is'))) AS c_en,
-                  len(list_filter(words, x -> x IN ('der','und','die','das','ist'))) AS c_de,
-                  len(list_filter(words, x -> x IN ('le','et','la','les','est'))) AS c_fr,
-                  len(list_filter(words, x -> x IN ('el','y','la','los','es'))) AS c_es
-           FROM w)
-         SELECT id,
-                CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
-                     WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
-                     WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
-                     WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
-                     ELSE 'und' END AS lang_pred
-         FROM c""",
+    "q_lang_id" -> langIdOracleSql,
 
     "q_dedup_cc_groups" ->
       """WITH g AS (

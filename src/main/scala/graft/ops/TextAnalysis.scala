@@ -43,12 +43,20 @@ object TextAnalysis {
       round(score, 2).as("quality_score"))
   }
 
-  /** Marker words per language for the n-gram/stopword language heuristic. */
+  /** Marker words per language for the stopword language heuristic. Marker
+    * overlap across languages is fine — every language counts its own hits
+    * and the max wins (ties: list order). The DuckDB oracle SQL is GENERATED
+    * from this table (SparkEntry.langIdOracleSql), so the two sides cannot
+    * drift. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is"),
-    "de" -> Seq("der", "und", "die", "das", "ist"),
-    "fr" -> Seq("le", "et", "la", "les", "est"),
-    "es" -> Seq("el", "y", "la", "los", "es"))
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "und", "die", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "et", "la", "les", "est", "des", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "y", "los", "las", "es", "un", "una", "por", "con", "para"),
+    "it" -> Seq("il", "e", "di", "che", "per", "della", "sono", "anche", "come", "alla"),
+    "pt" -> Seq("o", "os", "as", "um", "uma", "para", "com", "mais", "mas", "seu"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "met", "voor", "zijn"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "är", "av", "för", "den", "till"))
 
   /** Language ID: count stopword hits per language over word tokens, pick the
     * max (ties: language order above); no hits → "und" (undetermined). */
