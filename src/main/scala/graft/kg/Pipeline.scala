@@ -11,10 +11,21 @@ import org.apache.spark.sql.functions._
   * triple materialization → SHACL validation of the emitted graph.
   *
   * Every stage is checkpointed with per-partition lineage for exact resume.
-  * Skew notes: the corpus-level `distinct()` on full triples spreads hub
-  * subjects across partitions BEFORE any per-subject aggregation (a dedup
-  * shuffle keyed by the whole row has no hot keys), and the linker operates
-  * on distinct surface forms so mega-conversations never concentrate.
+  *
+  * Skew handling (north rule):
+  *  - mega-conversations: extraction is row-local (no per-conversation
+  *    grouping anywhere), so a 10⁶-turn conversation costs the same as 10⁶
+  *    small ones;
+  *  - hub entities in the fact→id joins (a popular alias can appear in a
+  *    large fraction of all facts): AQE skew-join splitting
+  *    (spark.sql.adaptive.skewJoin, on in every entry point) splits the hot
+  *    partitions; `graft.ops.Skew` provides explicit salting primitives for
+  *    engines running without AQE;
+  *  - per-key aggregations (surface dedup, triple distinct, tfidf document
+  *    frequencies) are safe by construction: partial (map-side) aggregation
+  *    collapses hub keys before the shuffle, and dedup shuffles key on the
+  *    whole row — no hot keys;
+  *  - LSH hub buckets are capped (TextSim.candidatePairs bucketCap).
   */
 object Pipeline {
 

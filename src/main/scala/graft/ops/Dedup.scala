@@ -30,7 +30,10 @@ object Dedup {
   def minHashNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 5, numHashes: Int = 16, rowsPerBand: Int = 4,
                           threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame = {
-    val sh = TextSim.charShingles(df, idCol, textCol, shingleSize).persist()
+    // eager checkpoint, not lazy persist: the signature and verification
+    // branches consume the shingles concurrently in a cold run, and racing
+    // consumers duplicate the computation before a lazy cache lands
+    val sh = TextSim.charShingles(df, idCol, textCol, shingleSize).localCheckpoint(true)
     val sig = TextSim.minHashSignatures(sh, numHashes)
     val cand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
     jaccardOnPairs(cand, sh).filter(col("jaccard") >= threshold)
@@ -64,7 +67,7 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
                         threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
-    val grams = wordNgrams(df, idCol, textCol, n).persist()
+    val grams = wordNgrams(df, idCol, textCol, n).localCheckpoint(true)
     val sig = TextSim.minHashSignatures(grams, numHashes)
     val cand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
     jaccardOnPairs(cand, grams).filter(col("jaccard") >= threshold)
@@ -92,7 +95,7 @@ object Dedup {
     * with exact Hamming distance via bit_count(xor). */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(df, idCol, textCol).persist()
+    val sh = simHash(df, idCol, textCol).localCheckpoint(true)
     val bandKeys = (0 until 4).map { b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
@@ -120,7 +123,7 @@ object Dedup {
                            n: Int = 3, threshold: Double = 0.8,
                            numHashes: Int = 16, rowsPerBand: Int = 2,
                            bucketCap: Int = 1000): DataFrame = {
-    val sh = simHash(df, idCol, textCol).persist()
+    val sh = simHash(df, idCol, textCol).localCheckpoint(true)
     val bandKeys = (0 until 4).map { b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
@@ -128,7 +131,7 @@ object Dedup {
     // same hub-bucket cap as every other blocker: a degenerate band key
     // shared by millions of docs must not go quadratic
     val simCand = TextSim.candidatePairs(bands, bucketCap)
-    val grams = wordNgrams(df, idCol, textCol, n).persist()
+    val grams = wordNgrams(df, idCol, textCol, n).localCheckpoint(true)
     val sig = TextSim.minHashSignatures(grams, numHashes)
     val minCand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
     val cand = simCand.union(minCand).distinct()
