@@ -23,7 +23,7 @@ class ServiceSpec extends SparkTestBase {
       assert(resp.statusCode() == 200, resp.body())
       val body = resp.body()
       assert(body.contains(""""conforms": false"""))
-      // known-good LUBM counts (see .claude/skills/verify): Department 3/0,
+      // known-good LUBM fixture counts (same as the CLI drive): Department 3/0,
       // FullProfessor 2/3, University 1/4
       assert(body.replaceAll("\\s", "").contains(
         """"http://example.org/DepartmentShape":{"targets":3,"valid":3,"violated":0"""))
