@@ -157,6 +157,20 @@ object SparkEntry {
 
     "q_shacl_validate_bucketed" -> ((s, d) => shaclValidateBucketed(s, d)),
 
+    // sequence-path expansion (opt-in; the reference parses `sh:path (p1 p2)`
+    // but never compiles it — ShapeParser.py:275-283 — so default-off keeps
+    // verdict parity): customers must reach ≥40 distinct lineitems through
+    // the two-hop hasOrder/hasLine path; the invalid set is returned.
+    "q_seq_path_expand" -> ((s, d) => {
+      val shapes = ShapeSchema(Seq(Shape("CustSeqShape", Some("Customer"), None,
+        Some("SELECT ?x WHERE { ?x a <Customer> }"),
+        Seq(CardConstraint("cs_c1", SequencePath(Seq("hasOrder", "hasLine")),
+          min = 40)), Nil, Nil)))
+      val res = new Validator(s, asTriples(s, d), shapes,
+        ValidatorConfig(expandSequencePaths = true)).run()
+      res.invalid("CustSeqShape").select(col("focus"))
+    }),
+
     // ---------------- B: engine dataflow / relational core ----------------
     "q_groupby_countdistinct" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
@@ -240,6 +254,15 @@ object SparkEntry {
       Dedup.minHashNearDupPairs(s, t(s, d, "documents"), "doc_id", "text")
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
 
+    // word-3-gram Jaccard near-dup pairs (the brief's n-gram Jaccard op as
+    // its own surface): MinHash-blocked with 8 bands of 2 rows — at the
+    // corpus's real pair similarities (all >= 0.9) the per-pair miss
+    // probability is (1-j^2)^8 < 2e-6, so the exact cross-join oracle holds
+    "q_dedup_ngram_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(s, t(s, d, "documents"), "doc_id", "text",
+          n = 3, rowsPerBand = 2, threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
+
     "q_dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simHashVerifiedPairs(s, t(s, d, "documents"), "doc_id", "text")
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))),
@@ -250,6 +273,20 @@ object SparkEntry {
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0).map(_.toDouble)
       Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .select(col("id"))
+    }),
+
+    // IVF ANN with nProbe = nCentroids: probing every cell makes the result
+    // EXACT (identical to brute force), so the whole IVF plumbing — k-means
+    // coarse quantization, cell assignment, probe filter, re-rank — is
+    // oracle-checkable; partial-probe recall is asserted in OpsSpec.
+    "q_ann_ivf_full_probe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfTopK(s, emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          q, 10, nCentroids = 8, nProbe = 8)
         .select(col("id"))
     }),
 
@@ -398,6 +435,17 @@ object SparkEntry {
                      THEN 'valid' ELSE 'violated' END AS verdict
          FROM customer""",
 
+    "q_seq_path_expand" ->
+      """WITH cnt AS (
+           SELECT 'c' || o.o_custkey AS focus,
+                  COUNT(DISTINCT 'o' || l.l_orderkey || 'l' || l.l_linenumber) AS c
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1)
+         SELECT focus FROM (
+           SELECT 'c' || c.c_custkey AS focus, COALESCE(cnt.c, 0) AS c
+           FROM customer c LEFT JOIN cnt ON cnt.focus = 'c' || c.c_custkey)
+         WHERE c < 40""",
+
     "q_groupby_countdistinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts, COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
@@ -496,6 +544,14 @@ object SparkEntry {
          ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id ASC
          LIMIT 10""",
 
+    // full-probe IVF is exact -> same ground truth as brute force
+    "q_ann_ivf_full_probe" ->
+      """SELECT e.vec_id AS id
+         FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+         WHERE e.vec_id <> 0
+         ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id ASC
+         LIMIT 10""",
+
     // brute-force cross-join ground truth for the LSH-blocked pair queries:
     // the Spark side exact-verifies its candidates with the SAME metric, so
     // equality holds iff candidate generation has full recall on this corpus
@@ -511,6 +567,21 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""",
+
+    "q_dedup_ngram_pairs" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+                    FROM documents),
+         g AS (SELECT doc_id,
+                      list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-2,0)+1)]) AS s
+               FROM w WHERE len(t) >= 3)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+         FROM g a, g b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""",
 
     "q_dedup_simhash_pairs" ->
       """WITH w AS (SELECT doc_id,

@@ -20,7 +20,14 @@ final case class ValidatorConfig(
       * default — the reference parses but never emits the filter
       * (docs/feature.rst:25), so default verdict parity keeps it dead; the
       * engine is string-typed, so datatypes are judged by lexical form. */
-    enforceDatatype: Boolean = false
+    enforceDatatype: Boolean = false,
+    /** Expand `sh:path (p1 p2 …)` sequence paths into multi-hop joins. OFF
+      * by default — the reference parses sequence paths
+      * (ShapeParser.py:275-283) but its query generator never expands them
+      * into multi-hop patterns, so they match nothing; parity keeps that.
+      * ON compiles each hop to an equi-join on the intermediate node —
+      * capability the SHACL spec defines but the reference lacks. */
+    expandSequencePaths: Boolean = false
 )
 
 /** Per-shape verdict state, all derived from TWO cached frames: the
@@ -115,10 +122,22 @@ final class Validator(
 
   /** Edges for a path: (focus, o). Inverse paths swap subject/object
     * (ShapeParser.py:507-511); sequence paths are opaque and match nothing
-    * (parity with the reference generator, which never expands them). */
+    * (parity with the reference generator, which never expands them) unless
+    * `expandSequencePaths` compiles them to multi-hop equi-joins — each hop
+    * filters one predicate, so over the pred-partitioned triple layout every
+    * hop is a pruned scan, and the hop joins shuffle on the intermediate
+    * node id (no driver-side state, no cartesians). */
   private def pathEdges(path: PathExpr): DataFrame = path match {
     case DirectPath(p)  => triples.filter($"pred" === p).select($"subj".as("focus"), $"obj".as("o"))
     case InversePath(p) => triples.filter($"pred" === p).select($"obj".as("focus"), $"subj".as("o"))
+    case SequencePath(iris) if config.expandSequencePaths && iris.nonEmpty =>
+      val first = triples.filter($"pred" === iris.head)
+        .select($"subj".as("focus"), $"obj".as("o"))
+      iris.tail.foldLeft(first) { (acc, p) =>
+        val hop = triples.filter($"pred" === p)
+          .select($"subj".as("o"), $"obj".as("o2"))
+        acc.join(hop, Seq("o")).select($"focus", $"o2".as("o"))
+      }
     case SequencePath(_) => spark.emptyDataset[(String, String)].toDF("focus", "o")
   }
 

@@ -83,6 +83,30 @@ class ValidatorPropertySpec extends SparkTestBase {
     assert(on.invalid(ns + "S").collect().map(_.getString(0)).toSet == Set("i2"))
   }
 
+  test("sequence paths: opaque by default (reference parity), multi-hop when expanded") {
+    val ns = "http://sq.example.org/"
+    val (p1, p2) = (ns + "p1", ns + "p2")
+    // i1 reaches 2 distinct leaves through p1/p2; i2 reaches 1; i3 reaches 0
+    val triples = TripleStore.fromTriples(spark, Seq(
+      STriple("i1", Rdf.rdfType, ns + "C"), STriple("i2", Rdf.rdfType, ns + "C"),
+      STriple("i3", Rdf.rdfType, ns + "C"),
+      STriple("i1", p1, "m1"), STriple("i1", p1, "m2"),
+      STriple("m1", p2, "x1"), STriple("m2", p2, "x2"),
+      STriple("i2", p1, "m3"), STriple("m3", p2, "x1"),
+      STriple("i3", p1, "m4") /* m4 has no p2 edge */))
+    val schema = ShapeSchema(Seq(Shape(ns + "S", Some(ns + "C"), None,
+      Some(s"SELECT ?x WHERE { ?x a <${ns}C> }"),
+      Seq(CardConstraint("c", SequencePath(Seq(p1, p2)), min = 2)), Nil, Nil)))
+    // default: sequence path matches nothing -> every target fails min
+    val off = new Validator(spark, triples, schema).run()
+    assert(off.invalid(ns + "S").count() == 3)
+    // expanded: two-hop countDistinct
+    val on = new Validator(spark, triples, schema,
+      ValidatorConfig(expandSequencePaths = true)).run()
+    assert(on.valid(ns + "S").collect().map(_.getString(0)).toSet == Set("i1"))
+    assert(on.invalid(ns + "S").collect().map(_.getString(0)).toSet == Set("i2", "i3"))
+  }
+
   test("A16 constant-equality constraint counts only the fixed value") {
     val ns = "http://cv.example.org/"
     val triples = TripleStore.fromTriples(spark, Seq(
