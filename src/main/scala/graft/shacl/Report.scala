@@ -13,12 +13,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Report {
 
-  /** All verdicts as one DataFrame(shape, focus, verdict). */
+  /** All verdicts as one DataFrame(shape, focus, verdict). Each shape's
+    * `marked` frame is read ONCE (verdict = CASE over the T/F flags) rather
+    * than filtered twice for valid/violated: the union's branches execute
+    * concurrently in one job, and two branches over the same not-yet-cached
+    * evaluation subtree race the persist cache and duplicate the whole
+    * shape evaluation — the single read removes the race and halves the
+    * plan. Semantics identical: validFinal = marked∖F, invalid = inv0 ∪ F,
+    * and inv0 is disjoint from marked by construction. */
   def verdictFrame(spark: SparkSession, result: ValidationResult): DataFrame = {
     val parts = result.verdicts.toSeq.flatMap { case (shapeId, v) =>
       Seq(
-        v.validFinal.select(lit(shapeId).as("shape"), col("focus"), lit("valid").as("verdict")),
-        v.invalid.select(lit(shapeId).as("shape"), col("focus"), lit("violated").as("verdict"))
+        v.marked.select(lit(shapeId).as("shape"), col("focus"),
+          when(col("__isF"), lit("violated")).otherwise(lit("valid")).as("verdict")),
+        v.inv0.select(lit(shapeId).as("shape"), col("focus"), lit("violated").as("verdict"))
       )
     }
     parts.reduceOption(_ union _)

@@ -454,6 +454,11 @@ final class Validator(
         .select($"focus", $"__isF", $"__isT")
     }
 
+    // shapes some other shape references — their verdict frames feed >1
+    // downstream consumer and get materialized eagerly (see below)
+    val referencedIds: Set[String] = schema.shapes
+      .flatMap(x => schema.dependencies.getOrElse(x.id, Nil)).toSet
+
     stats.sccCount = sccs.size
     for (scc <- sccs) {
       if (!schema.isCyclic(scc)) {
@@ -477,6 +482,14 @@ final class Validator(
         }
         val inv0d = pin(s.id, inv0.distinct())
         val marked = pin(s.id, evalShape(s, inv0d))
+        // A shape with dependents is consumed from MULTIPLE downstream plan
+        // branches (each dependent's joinStats, plus the final report). If
+        // its lazily-persisted frames are still cold when those branches run
+        // concurrently inside one job, each branch recomputes the whole
+        // evaluation subtree (racing the cache) — nondeterministic 2-4×
+        // work. One cheap count materializes the cache exactly once, in
+        // dependency order; leaf shapes stay fully lazy.
+        if (referencedIds.contains(s.id)) marked.count()
         state(s.id) = ShapeVerdict(targets(s.id), inv0d, marked)
       } else {
         stats.cyclicSccCount += 1
