@@ -290,6 +290,18 @@ object SparkEntry {
         .select(col("id"))
     }),
 
+    // batch k-NN through the IVF-blocked plan (shuffle join on cells, no
+    // cartesian); nProbe = nCentroids probes every cell -> EXACT result,
+    // so the whole blocked batch path is oracle-checkable. Partial-probe
+    // recall is asserted in OpsSpec.
+    "q_ann_batch_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfBatchTopK(s,
+          emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 8)
+        .select(col("qid"), col("id"))
+    }),
+
     "q_ann_lsh_pairs" -> ((s, d) => {
       // the synthetic corpus has no natural pairs above ~0.51 cosine, so the
       // query PLANTS exact-direction duplicates (vec scaled by 2, new ids)
@@ -597,6 +609,19 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""",
+
+    // exact ground truth for the full-probe IVF batch plan: per-query rank
+    // over the q×c cartesian, top 5, ties by corpus id
+    "q_ann_batch_topk" ->
+      """SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, c.vec_id AS id,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                             c.vec_id ASC) AS rk
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND c.vec_id >= 10)
+         WHERE rk <= 5""",
 
     "q_ann_lsh_pairs" ->
       """WITH all_v AS (

@@ -47,9 +47,10 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact k-NN for EVERY row of `queries` against `corpus` — the
-    * distributed batch form: broadcast the smaller side, rank per query with
-    * a window, keep top-k. */
+  /** Exact k-NN for EVERY row of `queries` against `corpus` by explicit
+    * broadcast cartesian — valid ONLY when `corpus` fits in a broadcast
+    * (dictionary-sized sides). For the scale path use [[ivfBatchTopK]],
+    * which shuffle-joins on IVF cells instead of materializing q×c. */
   def crossTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
@@ -167,6 +168,52 @@ object Similarity {
     assigned.filter(col("cell").isin(qCells.toSeq: _*))
       .select(col("id"), cosineNative(col("v"), q).as("cos")).distinct()
       .orderBy(desc("cos"), asc("id")).limit(k)
+  }
+
+  /** Batch k-NN at scale: IVF-blocked instead of cartesian. Corpus vectors
+    * are quantized to their single nearest k-means cell; each query probes
+    * its `nProbe` nearest cells; candidates meet in a shuffle join
+    * co-partitioned on `cell`, are scored with the native cosine, and a
+    * per-query window keeps the top k.
+    *
+    * Cost: |corpus| + |queries|·nProbe rows shuffled on `cell` — never the
+    * q×c cartesian that [[crossTopK]] materializes. With
+    * `nProbe = nCentroids` every cell is probed, so the result is EXACT
+    * (equal to brute force) while still exercising the whole blocked plan —
+    * that is the driver-oracle configuration; partial probe is the
+    * approximate scale configuration (recall asserted in OpsSpec).
+    *
+    * At 100 TB: nCentroids should grow ~√N (10⁴⁺ cells), so the join key
+    * space is wide and AQE's skew split handles lumpy cells; the centroid
+    * array stays k·dim doubles — broadcast-sized by construction.
+    *
+    * @return (qid, id, cos) with rank ≤ k per qid, ties broken by id asc */
+  def ivfBatchTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   nCentroids: Int = 16, nProbe: Int = 4,
+                   kmeansIters: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
+    val centroids = kMeansCentroids(spark, c, nCentroids, kmeansIters)
+    val centCol = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    // corpus → exactly one cell (its max-cosine centroid)
+    val ranked = transform(centCol, cc =>
+      struct(cosineNative(col("v"), cc.getField("cv")).as("cos"), cc.getField("cid").as("cid")))
+    val corpusCells = c.withColumn("cell", array_max(ranked).getField("cid"))
+    // queries → their nProbe best cells
+    val queryCells = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(slice(reverse(array_sort(transform(centCol, cc =>
+          struct(cosineNative(col("qv"), cc.getField("cv")).as("cos"),
+            cc.getField("cid").as("cid"))))), 1, nProbe).getField("cid")))
+    val scored = queryCells.join(corpusCells, Seq("cell"))
+      .select(col("qid"), col("id"),
+        cosineNative(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"))
   }
 
   private[ops] def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {

@@ -122,6 +122,25 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall $recall (approx=$approx exact=$exact)")
   }
 
+  test("ivf batch k-nn: full probe exact vs crossTopK, partial probe recall >= 0.8") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 10)
+    val corpus = vecs.filter($"vec_id" >= 10)
+    val exact = Similarity.crossTopK(queries, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfBatchTopK(spark, queries, corpus, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "full probe must equal the brute-force batch result")
+    val partial = Similarity.ivfBatchTopK(spark, queries, corpus, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (partial & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"batch IVF recall $recall")
+  }
+
   test("k-means centroids are deterministic and partition the corpus") {
     val data = (0 until 120).map { i =>
       (i.toString, Seq.tabulate(4)(j => math.cos(i * 1.3 + j)))
