@@ -122,6 +122,21 @@ class PlanSpec extends SparkTestBase {
     assert(agg.count() == 100)
   }
 
+  test("batch k-NN plan is cell-blocked: no cartesian or nested-loop join") {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.ivfBatchTopK(spark,
+      vecs.filter($"vec_id" < 8), vecs.filter($"vec_id" >= 8),
+      "vec_id", "embedding", k = 3, nCentroids = 4, nProbe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"batch k-NN must join on IVF cells, not cross-join:\n$plan")
+    // candidates meet in an equi-join on the cell key (whatever physical
+    // strategy AQE picks — hash, sort-merge or broadcast — it's keyed)
+    assert(plan.contains("cell"), s"expected a cell-keyed join, got:\n$plan")
+  }
+
   test("native cosine expression: bit-identical to the HOF form, codegen'd") {
     import graft.ops.Similarity
     graft.functions.GraftFunctions.register(spark)
