@@ -7,9 +7,13 @@ import org.apache.spark.sql.SparkSession
 /** Command-line entry point — the reference's `main.py` surface:
   *   runMain graft.Cli -d <shapesDir> <data.ttl|data.parquet> <outputDir> [DFS|BFS]
   *     [--heuristics TARGET|'' IN|OUT|INOUT|OUTIN|'' BIG|SMALL|'']
-  *     [--no-selective] [--json]
-  * Writes verdicts.parquet, targets_valid.log, targets_violated.log,
-  * validationReport.ttl and stats.txt to the output directory and prints a
+  *     [--no-selective] [--json] [-m maxSize] [--orderby] [--outputs] [--force]
+  * Always writes verdicts.parquet, validationReport.ttl, stats.txt and
+  * validation.log; `--outputs` additionally writes targets_valid.log,
+  * targets_violated.log and traces.csv (reference main.py:44-45 — target
+  * classifications are saved only on request), `--orderby` globally sorts
+  * the verdict parquet, `-m` bounds the A10 eligibility lists, `--force`
+  * skips unparseable shape files with a warning (main.py:50-51). Prints a
   * per-shape summary.
   */
 object Cli {
@@ -21,13 +25,21 @@ object Cli {
     var heuristics = Traversal.DefaultHeuristics
     var selective = true
     var format = "SHACL"
+    var maxSplitSize = 256L
+    var orderBy = false
+    var outputs = false
+    var force = false
 
     var positional = List.empty[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-d" => i += 1; shapesDir = args(i)
+        case "-m" => i += 1; maxSplitSize = args(i).toLong
         case "--no-selective" => selective = false
+        case "--orderby" => orderBy = true
+        case "--outputs" => outputs = true
+        case "-f" | "--force" => force = true
         case "--json" => format = "JSON"
         case "--heuristics" =>
           val target = args(i + 1).equalsIgnoreCase("TARGET")
@@ -46,7 +58,8 @@ object Cli {
       case _ =>
         System.err.println(
           "usage: graft.Cli -d <shapesDir> <data.ttl|parquet> <outDir> [DFS|BFS] " +
-          "[--heuristics TARGET IN BIG] [--no-selective] [--json]")
+          "[--heuristics TARGET IN BIG] [--no-selective] [--json] " +
+          "[-m maxSize] [--orderby] [--outputs] [--force]")
         sys.exit(2)
     }
 
@@ -65,13 +78,16 @@ object Cli {
         if (dataPath.endsWith(".ttl")) TripleStore.fromTurtleFile(spark, dataPath).cache()
         else TripleStore.readParquet(spark, dataPath)
 
-      val schema = ShapeParser.parseDir(shapesDir, format)
-      val cfg = ValidatorConfig(selective = selective, traversal = algo, heuristics = heuristics)
+      val schema = ShapeParser.parseDir(shapesDir, format, lenient = force)
+      val cfg = ValidatorConfig(selective = selective, traversal = algo,
+        heuristics = heuristics, maxSplitSize = maxSplitSize)
       val result = new Validator(spark, triples, schema, cfg).run()
 
-      Report.writeVerdicts(spark, result, outDir)
-      Report.writeTargetLogs(result, outDir)
-      Report.writeTraces(spark, result, outDir)
+      Report.writeVerdicts(spark, result, outDir, ordered = orderBy)
+      if (outputs) {
+        Report.writeTargetLogs(result, outDir)
+        Report.writeTraces(spark, result, outDir)
+      }
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/validationReport.ttl"),
         Report.validationReportTtl(result).getBytes("UTF-8"))
       val stats = Report.statsText(result)

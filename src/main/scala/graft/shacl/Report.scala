@@ -33,8 +33,17 @@ object Report {
       .getOrElse(spark.emptyDataFrame.select(lit("").as("shape"), lit("").as("focus"), lit("").as("verdict")).limit(0))
   }
 
-  def writeVerdicts(spark: SparkSession, result: ValidationResult, outDir: String): Unit =
-    verdictFrame(spark, result).write.mode(SaveMode.Overwrite).parquet(s"$outDir/verdicts.parquet")
+  /** @param ordered reference `--orderby` (main.py:41-42, ORDER BY in the
+    *        generated queries): globally sort the verdict output by
+    *        (shape, focus) before writing. A distributed range sort — output
+    *        part files are globally ordered; costs one extra shuffle, which
+    *        is exactly what the flag opts into. */
+  def writeVerdicts(spark: SparkSession, result: ValidationResult, outDir: String,
+                    ordered: Boolean = false): Unit = {
+    val frame = verdictFrame(spark, result)
+    val out = if (ordered) frame.orderBy(col("shape"), col("focus")) else frame
+    out.write.mode(SaveMode.Overwrite).parquet(s"$outDir/verdicts.parquet")
+  }
 
   /** `traces.csv` parity (Validation.register_target, Validation.py:543-544 +
     * :604-607): one row per registered target with columns

@@ -15,14 +15,25 @@ import scala.jdk.CollectionConverters._
   */
 object ShapeParser {
 
-  def parseDir(dir: String, format: String = "SHACL"): ShapeSchema = {
+  /** @param lenient reference `-f/--force` (`ShapeParser.__init__
+    *        ignore_errors`, core/ShapeParser.py:31-36): a shape file that
+    *        fails to parse (unsupported construct, malformed syntax) is
+    *        skipped with a warning instead of aborting the whole schema. */
+  def parseDir(dir: String, format: String = "SHACL", lenient: Boolean = false): ShapeSchema = {
     val ext = if (format == "SHACL") ".ttl" else ".json"
     val files = walk(dir).filter(_.toLowerCase.endsWith(ext)).sorted
     if (files.isEmpty)
       throw new java.io.FileNotFoundException(s"$dir does not contain any shapes of the format $format")
+    def guard(f: String, parse: => Seq[Shape]): Seq[Shape] =
+      if (!lenient) parse
+      else try parse catch {
+        case e: Exception =>
+          System.err.println(s"[shape-parser] WARN skipping $f: ${e.getMessage}")
+          Nil
+      }
     val shapes =
-      if (format == "SHACL") files.flatMap(parseTtlFile)
-      else files.map(parseJsonFile)
+      if (format == "SHACL") files.flatMap(f => guard(f, parseTtlFile(f)))
+      else files.flatMap(f => guard(f, Seq(parseJsonFile(f))))
     ShapeSchema(shapes)
   }
 

@@ -27,7 +27,13 @@ final case class ValidatorConfig(
       * into multi-hop patterns, so they match nothing; parity keeps that.
       * ON compiles each hop to an equi-join on the intermediate node —
       * capability the SHACL spec defines but the reference lacks. */
-    expandSequencePaths: Boolean = false
+    expandSequencePaths: Boolean = false,
+    /** Reference `-m maxSize` (main.py:38-39): max number of instances a
+      * neighbor's verdict list may hold to qualify for A10 target
+      * pre-filtering (Validation.py:147-175 eligibility rule). In the
+      * reference it also caps VALUES-chunk sizes — obsolete here, Spark
+      * joins have no query-length limit. */
+    maxSplitSize: Long = 256
 )
 
 /** Per-shape verdict state, all derived from TWO cached frames: the
@@ -471,7 +477,7 @@ final class Validator(
         // (the planner-knob grid asserts the invariance).
         var inv0 = invalid0raw(s.id)
         if (config.selective) {
-          TargetFilter.eligibleNeighbor(s, state.toMap, schema).foreach { ref =>
+          TargetFilter.eligibleNeighbor(s, state.toMap, schema, config.maxSplitSize).foreach { ref =>
             s.minConstraints.find(_.shapeRef.contains(ref)).foreach { c =>
               val cls = TargetFilter.classify(
                 spark, triples, targets(s.id), c, state(ref).validFinal)

@@ -29,6 +29,21 @@ class ShapeParserSpec extends AnyFunSuite {
       order.indexOf("http://example.org/DepartmentShape"))
   }
 
+  test("lenient parseDir skips unparseable shape files with a warning (--force)") {
+    val dir = java.nio.file.Files.createTempDirectory("lenient_shapes")
+    val good = java.nio.file.Files.copy(
+      java.nio.file.Paths.get("src/test/resources/lubm/shapes/Department.ttl"),
+      dir.resolve("Department.ttl"))
+    java.nio.file.Files.writeString(dir.resolve("Broken.ttl"),
+      "@prefix sh: <http://www.w3.org/ns/shacl#> .\n<urn:x> sh:path ( broken")
+    // strict: the malformed file aborts the whole schema
+    assertThrows[Exception](ShapeParser.parseDir(dir.toString))
+    // lenient (reference -f/--force): warn + skip, keep the good shape
+    val schema = ShapeParser.parseDir(dir.toString, lenient = true)
+    assert(schema.shapes.map(_.id) == Seq("http://example.org/DepartmentShape"))
+    assert(good != null)
+  }
+
   test("TTL sh:targetQuery overrides the synthesized target query") {
     val ttl =
       """@prefix sh: <http://www.w3.org/ns/shacl#> .
