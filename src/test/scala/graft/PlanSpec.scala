@@ -101,6 +101,14 @@ class PlanSpec extends SparkTestBase {
       r.invalid(ns + "CustShape").collect().map(_.getString(0)).toSet)
     assert(sets(on) == sets(off) && sets(on) == (Set("c1"), Set("c2")))
     on.unpersist(); off.unpersist()
+    // -m / maxSplitSize is LIVE: 0 makes every neighbor list too big for the
+    // eligibility rule, so pruning cannot fire even under selective — and
+    // verdicts stay identical (the knob trades plans, never answers)
+    val tiny = new Validator(spark, triples, schema,
+      ValidatorConfig(selective = true, maxSplitSize = 0)).run()
+    assert(tiny.stats.prunedShapes == 0, "maxSplitSize=0 must disable A10 pruning")
+    assert(sets(tiny) == (Set("c1"), Set("c2")))
+    tiny.unpersist()
   }
 
   test("bucketed triple table: groupBy(subj) aggregates without a shuffle") {
