@@ -32,39 +32,45 @@ object Extraction {
     s"($MentionRe) (${(relTriggerToPred.keys.toSeq :+ "is a").sorted.mkString("|")}) " +
       s"($MentionRe|${kindWordToClass.keys.toSeq.sorted.mkString("|")}) \\."
 
-  private def mapLit(m: Map[String, String]) =
-    map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-
   /** All mention surfaces per turn: (conv_id, turn_idx, surface). */
   def mentions(turns: DataFrame): DataFrame =
     turns.select(col("conv_id"), col("turn_idx"),
       explode(regexp_extract_all(col("text"), lit(MentionRe), lit(0))).as("surface"))
 
-  /** Unified fact extraction in ONE corpus pass:
-    * (conv_id, turn_idx, subjSurface, pred, objSurface, cls).
-    * Relation rows carry (pred, objSurface); type rows carry pred=rdf:type
-    * and the class IRI in `cls`. Trigger/kind words map to IRIs through
-    * literal maps — everything stays inside whole-stage codegen.
+  /** Canonical small-integer fact codes, shared by the compact extraction
+    * output and the pipeline's dictionary encoding:
+    * pid 0 = rdf:type, then the relation predicates in declaration order;
+    * clsIdx i+1 = classesInOrder(i) (so the pipeline's reserved entity id
+    * for class c is simply -clsIdx). */
+  val predsInOrder: Seq[String] =
+    graft.rdf.Rdf.rdfType +: Seq(Universe.relWorksAt, Universe.relCollab, Universe.relContrib)
+  val classesInOrder: Seq[String] =
+    Seq(Universe.clsPerson, Universe.clsOrg, Universe.clsProject)
+
+  private val triggerToPid = Map("works at" -> 1, "collaborates with" -> 2, "contributes to" -> 3)
+  private val kindWordToClsIdx = Map("person" -> 1, "organization" -> 2, "project" -> 3)
+
+  private def mapLitInt(m: Map[String, Int]) =
+    map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  /** Unified fact extraction in ONE corpus pass, DICTIONARY-ENCODED at the
+    * source: (conv_id, turn_idx, subjSurface, pid, objSurface, clsIdx).
+    * Relation rows carry (pid ≥ 1, objSurface); type rows carry pid = 0 and
+    * the class index in `clsIdx`. The extraction scan is memory-bandwidth
+    * bound at high parallelism, so the hot output carries 4-byte codes
+    * instead of ~30-byte predicate/class IRI strings — the IRI view
+    * ([[facts]]) decodes lazily at the consumer edge via literal maps.
     *
     * ALL matching fact sentences of a turn are kept: one
     * `regexp_extract_all` pass over the full text finds every
     * non-overlapping match, then the (short) matched sentences are exploded
     * and re-captured per group — the full-corpus regex scan runs exactly
     * once, the per-group extracts only touch ~60-char match strings. */
-  def facts(turns: DataFrame): DataFrame = factsWith(turns, Nil)
+  def factsCompact(turns: DataFrame): DataFrame = factsCompactWith(turns, Nil)
 
-  /** `facts` carrying extra pass-through columns (e.g. `ts` for streaming
-    * windowed metrics). */
-  def factsWith(turns: DataFrame, carry: Seq[String]): DataFrame = {
+  def factsCompactWith(turns: DataFrame, carry: Seq[String]): DataFrame = {
     val keyCols = Seq(col("conv_id"), col("turn_idx")) ++ carry.map(col)
     turns
-      // cheap substring prefilter before the (expensive) regex: a turn with
-      // no trigger phrase cannot contain a fact, and filler/padding-only
-      // turns are a third of the corpus — `contains` is a vectorized
-      // byte-scan, an order of magnitude cheaper than the alternation regex.
-      // Purely an optimization: the regex still decides on survivors.
-      .filter((relTriggerToPred.keys.toSeq.sorted :+ "is a")
-        .map(t => col("text").contains(t)).reduce(_ || _))
       .select(keyCols :+
         explode(regexp_extract_all(col("text"), lit(factPattern), lit(0))).as("sent"): _*)
       .select(keyCols ++ Seq(
@@ -73,10 +79,31 @@ object Extraction {
         regexp_extract(col("sent"), factPattern, 3).as("objRaw")): _*)
       .filter(col("subjSurface") =!= "")
       .select(keyCols ++ Seq(col("subjSurface"),
-        when(col("trigger") === "is a", lit(graft.rdf.Rdf.rdfType))
-          .otherwise(element_at(mapLit(relTriggerToPred), col("trigger"))).as("pred"),
+        when(col("trigger") === "is a", lit(0))
+          .otherwise(element_at(mapLitInt(triggerToPid), col("trigger"))).as("pid"),
         when(col("trigger") =!= "is a", col("objRaw")).as("objSurface"),
-        when(col("trigger") === "is a", element_at(mapLit(kindWordToClass), col("objRaw"))).as("cls")): _*)
+        when(col("trigger") === "is a", element_at(mapLitInt(kindWordToClsIdx), col("objRaw"))).as("clsIdx")): _*)
+  }
+
+  /** IRI-typed view over [[factsCompact]]:
+    * (conv_id, turn_idx, subjSurface, pred, objSurface, cls) — the public
+    * fact schema (pred/cls as IRIs), decoded from the integer codes with
+    * literal maps (codegen'd; negligible next to the regex scan). */
+  def facts(turns: DataFrame): DataFrame = factsWith(turns, Nil)
+
+  /** `facts` carrying extra pass-through columns (e.g. `ts` for streaming
+    * windowed metrics). */
+  def factsWith(turns: DataFrame, carry: Seq[String]): DataFrame =
+    decode(factsCompactWith(turns, carry), Seq(col("conv_id"), col("turn_idx")) ++ carry.map(col))
+
+  /** Decode a compact fact frame to the IRI-typed public schema. */
+  def decode(compact: DataFrame, keyCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val predOf = map(predsInOrder.zipWithIndex.flatMap { case (p, i) => Seq(lit(i), lit(p)) }: _*)
+    val clsOf = map(classesInOrder.zipWithIndex.flatMap { case (c, i) => Seq(lit(i + 1), lit(c)) }: _*)
+    compact.select(keyCols ++ Seq(col("subjSurface"),
+      element_at(predOf, col("pid")).as("pred"),
+      col("objSurface"),
+      when(col("clsIdx").isNotNull, element_at(clsOf, col("clsIdx"))).as("cls")): _*)
   }
 
   /** Binary relations view over `facts`. */

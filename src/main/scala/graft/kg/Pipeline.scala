@@ -65,7 +65,12 @@ object Pipeline {
 
     // ONE pass over the corpus extracts relation AND type facts together —
     // the transcript scan dominates data volume and must not run twice.
-    val facts = ckpt.stage("facts", sig) { Extraction.facts(turns) }
+    // Stored in the COMPACT form (integer pred/class codes, not IRI
+    // strings): the extraction scan is memory-bandwidth bound at high
+    // parallelism, and the hot checkpoint is ~40% smaller this way. The
+    // format marker in the signature forces recompute over checkpoints
+    // written in the old IRI-string schema.
+    val facts = ckpt.stage("facts", s"$sig;fmt=compact") { Extraction.factsCompact(turns) }
 
     val surfaces = ckpt.stage("surfaces", sig) {
       facts.select(col("subjSurface").as("surface"))
@@ -89,10 +94,7 @@ object Pipeline {
       val dict = links.select(col("canonical")).distinct()
         .withColumn("eid", xxhash64(col("canonical")))
         .localCheckpoint(true)
-      val classes = Seq(Universe.clsPerson, Universe.clsOrg, Universe.clsProject)
-      // objects of type facts are class IRIs, not surfaces: give the three
-      // classes fixed reserved ids so they share the integer dictionary
-      val clsId = map(classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(c), lit(-(i + 1).toLong)) }: _*)
+      val classes = Extraction.classesInOrder
       val audit = dict.agg(
         countDistinct(col("canonical")).as("nCanon"),
         countDistinct(col("eid")).as("nId"),
@@ -105,16 +107,16 @@ object Pipeline {
       // at test scale; at 10^8+ distinct surfaces these CANNOT be broadcast)
       val sLink = links.select(col("surface").as("subjSurface"), xxhash64(col("canonical")).as("sid"))
       val oLink = links.select(col("surface").as("objSurface"), xxhash64(col("canonical")).as("oid"))
-      val preds = Seq(Rdf.rdfType, Universe.relWorksAt, Universe.relCollab, Universe.relContrib)
-      val predId = map(preds.zipWithIndex.flatMap { case (p, i) => Seq(lit(p), lit(i)) }: _*)
-      val predOf = map(preds.zipWithIndex.flatMap { case (p, i) => Seq(lit(i), lit(p)) }: _*)
+      val predOf = map(Extraction.predsInOrder.zipWithIndex
+        .flatMap { case (p, i) => Seq(lit(i), lit(p)) }: _*)
 
+      // facts already carry integer pred/class codes (Extraction.factsCompact);
+      // the reserved entity id of class index i is -i by construction
       val compact = facts
         .join(sLink, Seq("subjSurface"))
         .join(oLink, Seq("objSurface"), "left")
-        .select(col("sid"),
-          element_at(predId, col("pred")).as("pid"),
-          coalesce(col("oid"), element_at(clsId, col("cls"))).as("oid"))
+        .select(col("sid"), col("pid"),
+          coalesce(col("oid"), -col("clsIdx").cast("long")).as("oid"))
         .filter(col("oid").isNotNull) // defensive: drop malformed facts
         .distinct()
 
