@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Cli -d <shapesDir> <data.ttl|data.parquet> <outputDir> [DFS|BFS]
   *     [--heuristics TARGET|'' IN|OUT|INOUT|OUTIN|'' BIG|SMALL|'']
   *     [--no-selective] [--json] [-m maxSize] [--orderby] [--outputs] [--force]
-  * Always writes verdicts.parquet, validationReport.ttl, stats.txt and
-  * validation.log; `--outputs` additionally writes targets_valid.log,
-  * targets_violated.log and traces.csv (reference main.py:44-45 — target
+  * Always writes verdicts.parquet, validationReport.ttl, stats.txt,
+  * validation.log and traces.csv (the reference writes traces under
+  * save_stats, which is true whenever an output dir is given —
+  * Validation.py:587-605); `--outputs` additionally writes targets_valid.log
+  * and targets_violated.log (save_targets_to_file, main.py:44-45 — target
   * classifications are saved only on request), `--orderby` globally sorts
   * the verdict parquet, `-m` bounds the A10 eligibility lists, `--force`
   * skips unparseable shape files with a warning (main.py:50-51). Prints a
@@ -84,10 +86,8 @@ object Cli {
       val result = new Validator(spark, triples, schema, cfg).run()
 
       Report.writeVerdicts(spark, result, outDir, ordered = orderBy)
-      if (outputs) {
-        Report.writeTargetLogs(result, outDir)
-        Report.writeTraces(spark, result, outDir)
-      }
+      Report.writeTraces(spark, result, outDir)
+      if (outputs) Report.writeTargetLogs(result, outDir)
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/validationReport.ttl"),
         Report.validationReportTtl(result).getBytes("UTF-8"))
       val stats = Report.statsText(result)

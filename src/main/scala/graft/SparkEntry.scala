@@ -239,14 +239,16 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id").as("id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // CC canonicalization over near-duplicate edges: the synthetic documents
+    // table has no EXACT duplicates at the oracle scale, so the edges come
+    // from the MinHash near-dup pairs (same params as q_dedup_minhash_pairs,
+    // whose exact cross-join oracle establishes the pair set) — non-empty
+    // components the oracle's recursive closure reproduces exactly.
     "q_dedup_cc_groups" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .select(format_string("%010d", col("doc_id")).as("node"), md5(col("text")).as("h"))
-      val keeper = docs.groupBy(col("h"))
-        .agg(min(col("node")).as("keeper"), count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-      val edges = docs.join(keeper, "h").filter(col("node") =!= col("keeper"))
-        .select(col("keeper").as("src"), col("node").as("dst"))
+      val pairs = Dedup.minHashNearDupPairs(s, t(s, d, "documents"), "doc_id", "text")
+      val edges = pairs.select(
+        format_string("%010d", col("a")).as("src"),
+        format_string("%010d", col("b")).as("dst"))
       graft.ops.ConnectedComponents.run(s, edges)
     }),
 
@@ -538,13 +540,29 @@ object SparkEntry {
 
     "q_lang_id" -> langIdOracleSql,
 
+    // transitive closure (recursive CTE) over the exact cross-join near-dup
+    // pair set — each node labeled with the least id reachable from it, the
+    // same min-id component convention ConnectedComponents.run emits
     "q_dedup_cc_groups" ->
-      """WITH g AS (
-           SELECT printf('%010d', doc_id) AS node,
-                  MIN(printf('%010d', doc_id)) OVER (PARTITION BY md5(text)) AS component,
-                  COUNT(*) OVER (PARTITION BY md5(text)) AS n
-           FROM documents)
-         SELECT node, component FROM g WHERE n > 1""",
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS nt FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct([substring(nt, i, 5) FOR i IN range(1, greatest(length(nt)-4,1)+1)]) AS s
+                FROM t),
+         p AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM sh a, sh b
+               WHERE a.doc_id < b.doc_id
+                 AND len(list_intersect(a.s, b.s)) * 1.0 /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+         e AS (SELECT printf('%010d', a) AS u, printf('%010d', b) AS v FROM p
+               UNION
+               SELECT printf('%010d', b) AS u, printf('%010d', a) AS v FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         SELECT u AS node, least(u, min(v)) AS component
+         FROM reach GROUP BY u""",
 
     "q_multimodal_meta" ->
       "SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len FROM documents",

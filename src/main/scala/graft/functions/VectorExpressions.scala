@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSession
 
@@ -86,9 +86,224 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Per-row IVF kernel: the centroid matrix lives here as plain JVM arrays —
+  * computed ONCE per expression (from a single foldable literal) and carried
+  * into generated code as a codegen reference object. This is what keeps the
+  * plan O(1) in nCentroids: 10⁴ cells × 768 dims is one reference object of
+  * ~60 MB shipped with the task binary, not 10⁷ Catalyst literal nodes. Cost
+  * per row is one fused O(k·dim) loop. */
+final class CentroidKernel(mat: Array[Array[Double]], probes: Int, vecIsFloat: Boolean)
+    extends Serializable {
+  private val norms: Array[Double] = mat.map { r =>
+    var s = 0.0; var i = 0
+    while (i < r.length) { s += r(i) * r(i); i += 1 }
+    math.sqrt(s)
+  }
+  private val p = math.min(math.max(probes, 1), math.max(mat.length, 1))
+
+  /** Indices of the `probes` max-cosine centroids, cosine desc, ties broken
+    * by LOWER index (strict-> insertion keeps the earlier cell ahead —
+    * deterministic across runs and partitionings). */
+  def assign(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var nv = 0.0
+    var j = 0
+    while (j < n) {
+      val x = if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+      nv += x * x; j += 1
+    }
+    val nvs = math.sqrt(nv)
+    val bc = Array.fill(p)(Double.NegativeInfinity)
+    val bi = Array.fill(p)(-1)
+    var i = 0
+    while (i < mat.length) {
+      val c = mat(i)
+      val m = math.min(n, c.length)
+      var dot = 0.0
+      var t = 0
+      while (t < m) {
+        val x = if (vecIsFloat) vec.getFloat(t).toDouble else vec.getDouble(t)
+        dot += x * c(t); t += 1
+      }
+      val cos = dot / (nvs * norms(i))
+      if (cos > bc(p - 1)) {
+        var pos = p - 1
+        while (pos > 0 && cos > bc(pos - 1)) {
+          bc(pos) = bc(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+        }
+        bc(pos) = cos; bi(pos) = i
+      }
+      i += 1
+    }
+    var cnt = 0
+    while (cnt < p && bi(cnt) >= 0) cnt += 1
+    val out = new Array[Int](cnt)
+    System.arraycopy(bi, 0, out, 0, cnt)
+    new GenericArrayData(out)
+  }
+}
+
+/** `ivf_cells(vec, centroids, nProbe)` — the nProbe nearest centroid indices
+  * by cosine (descending; ties → lower index) as `array<int>`. `centroids`
+  * must be a FOLDABLE `array<array<double>>` (one literal holding the whole
+  * k×dim matrix) and `nProbe` a foldable int: both are evaluated once into a
+  * [[CentroidKernel]], so codegen per row is a single kernel call and the
+  * expression tree never grows with k. This replaces the earlier
+  * `array(struct(lit…))` formulation whose k·dim literal NODES capped IVF at
+  * toy cell counts. */
+case class NearestCells(vec: Expression, centroids: Expression, probes: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = centroids
+  override def third: Expression = probes
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def vecElemType: DataType = vec.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vecElemType match { case FloatType | DoubleType => true; case _ => false }
+    val centOk = centroids.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"ivf_cells expects an array<float|double> vector, got ${vec.dataType.catalogString}")
+    else if (!centOk || !centroids.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "ivf_cells expects a foldable array<array<double>> centroid matrix")
+    else if (probes.dataType != IntegerType || !probes.foldable)
+      TypeCheckResult.TypeCheckFailure("ivf_cells expects a foldable int nProbe")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val kernel: CentroidKernel = {
+    val ad = centroids.eval().asInstanceOf[ArrayData]
+    val mat = Array.tabulate(ad.numElements()) { i =>
+      val row = ad.getArray(i)
+      Array.tabulate(row.numElements())(j => row.getDouble(j))
+    }
+    new CentroidKernel(mat, probes.eval().asInstanceOf[Int], vecElemType == FloatType)
+  }
+
+  override def nullSafeEval(v: Any, c: Any, p: Any): Any =
+    kernel.assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("centroidKernel", kernel, classOf[CentroidKernel].getName)
+    nullSafeCodeGen(ctx, ev, (v, _, _) => s"${ev.value} = $k.assign($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, centroids = newSecond, probes = newThird)
+
+  override def prettyName: String = "ivf_cells"
+}
+
+/** Per-row sign-sketch kernel. The pseudo-random hyperplane component
+  * (i, j) ∈ {-1,+1} is the parity of `xxhash64(i, j)` — EXACTLY the Spark
+  * `xxhash64(lit(i), j)` chain (seed 42, then hashInt per child), so sketches
+  * are bit-identical to the portable HOF formulation in
+  * `Similarity.signSketchHof` (asserted in PlanSpec). The ±1 plane matrix is
+  * derived once per observed dimension and cached (volatile swap — benign
+  * idempotent race), so the per-row cost is one fused bits×dim loop instead
+  * of `bits` interpreted `aggregate(zip_with(...))` lambda passes. */
+final class SignSketchKernel(bits: Int, vecIsFloat: Boolean) extends Serializable {
+  @transient @volatile private var cache: (Int, Array[Byte]) = _
+
+  private def planes(dim: Int): Array[Byte] = {
+    val c = cache
+    if (c != null && c._1 == dim) return c._2
+    val s = new Array[Byte](bits * dim)
+    var i = 0
+    while (i < bits) {
+      val hi = XXH64.hashInt(i, 42L)
+      var j = 0
+      while (j < dim) {
+        s(i * dim + j) = if ((XXH64.hashInt(j, hi) & 1L) == 0L) 1 else -1
+        j += 1
+      }
+      i += 1
+    }
+    cache = (dim, s)
+    s
+  }
+
+  def sketch(vec: ArrayData): Long = {
+    val dim = vec.numElements()
+    val s = planes(dim)
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      val off = i * dim
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        acc += x * s(off + j)
+        j += 1
+      }
+      if (acc > 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+}
+
+/** `sign_sketch(vec, bits)` — random-hyperplane LSH sign sketch as one
+  * fused native loop (see [[SignSketchKernel]]). `bits` must be a foldable
+  * int ≤ 64. */
+case class SignSketch(vec: Expression, bits: Expression) extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = bits
+
+  override def dataType: DataType = LongType
+
+  private def vecElemType: DataType = vec.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vecElemType match { case FloatType | DoubleType => true; case _ => false }
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"sign_sketch expects an array<float|double> vector, got ${vec.dataType.catalogString}")
+    else if (bits.dataType != IntegerType || !bits.foldable)
+      TypeCheckResult.TypeCheckFailure("sign_sketch expects a foldable int bit count (<= 64)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val kernel: SignSketchKernel = {
+    val b = bits.eval().asInstanceOf[Int]
+    require(b >= 1 && b <= 64, s"sign_sketch bits must be in [1, 64], got $b")
+    new SignSketchKernel(b, vecElemType == FloatType)
+  }
+
+  override def nullSafeEval(v: Any, b: Any): Any =
+    kernel.sketch(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("signSketchKernel", kernel, classOf[SignSketchKernel].getName)
+    nullSafeCodeGen(ctx, ev, (v, _) => s"${ev.value} = $k.sketch($v);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, bits = newRight)
+
+  override def prettyName: String = "sign_sketch"
+}
+
 /** Session registration for graft's native expressions; idempotent. Call
-  * once per SparkSession, then use `call_function("cosine_sim", a, b)` (the
-  * public column API for registry functions). */
+  * once per SparkSession, then use `call_function("cosine_sim", a, b)` etc.
+  * (the public column API for registry functions). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -97,6 +312,20 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ivf_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "ivf_cells"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "ivf_cells takes exactly 3 arguments")
+        NearestCells(children.head, children(1), children(2))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sign_sketch"),
+      new ExpressionInfo(classOf[SignSketch].getName, "sign_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sign_sketch takes exactly 2 arguments")
+        SignSketch(children.head, children(1))
       })
   }
 }

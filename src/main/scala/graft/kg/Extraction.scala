@@ -70,7 +70,14 @@ object Extraction {
 
   def factsCompactWith(turns: DataFrame, carry: Seq[String]): DataFrame = {
     val keyCols = Seq(col("conv_id"), col("turn_idx")) ++ carry.map(col)
+    // contains() prefilter: filler-only turns (~1/3 of the corpus) carry none
+    // of the trigger substrings, and contains() is ~10x cheaper per byte than
+    // the alternation regex — skipping them before regexp_extract_all pays on
+    // the dominant extraction scan. The regex still decides every kept row,
+    // so the filter can only remove rows the regex would reject anyway.
+    val triggers = relTriggerToPred.keys.toSeq.sorted :+ "is a"
     turns
+      .filter(triggers.map(t => col("text").contains(t)).reduce(_ || _))
       .select(keyCols :+
         explode(regexp_extract_all(col("text"), lit(factPattern), lit(0))).as("sent"): _*)
       .select(keyCols ++ Seq(

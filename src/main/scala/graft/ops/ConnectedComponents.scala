@@ -22,12 +22,19 @@ object ConnectedComponents {
     *        broadcast-scale graphs (alias clusters, dedup groups) would
     *        otherwise pay 8-12 tiny Spark jobs of pure scheduling latency.
     *        The distributed small-star/large-star path engages above it.
+    * @param localThresholdBytes byte bound on the driver fallback: edge COUNT
+    *        alone is not a safe gate (1M edges of fat IRIs can be GBs), so
+    *        the local path additionally requires the measured id payload
+    *        (2 bytes/char UTF-16) to fit under this cap. Both the count and
+    *        the byte estimate come from the one aggregate over the
+    *        checkpointed symmetrized edges — no extra scan.
     * @return DataFrame(node, component) — component is the minimum node id
     *         (ordered lexicographically) of the node's component. Nodes with
     *         no edges are their own component and are NOT emitted (callers
     *         left-join and coalesce to self). */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
-          localThreshold: Long = 1000000L): DataFrame = {
+          localThreshold: Long = 1000000L,
+          localThresholdBytes: Long = 64L << 20): DataFrame = {
     import spark.implicits._
     val src = edges.columns(0)
     val dst = edges.columns(1)
@@ -47,7 +54,11 @@ object ConnectedComponents {
     var e = symmetrize(edges.select(col(src).as("u"), col(dst).as("v")))
       .localCheckpoint(true)
 
-    if (e.count() <= localThreshold) return localUnionFind(spark, e)
+    val (edgeCount, idChars) = e
+      .select(count(lit(1)), coalesce(sum(length($"u") + length($"v")), lit(0L)))
+      .as[(Long, Long)].first()
+    if (solveLocally(edgeCount, idChars, localThreshold, localThresholdBytes))
+      return localUnionFind(spark, e)
 
     def largeStar(g: DataFrame): DataFrame = {
       val sym = symmetrize(g)
@@ -88,6 +99,13 @@ object ConnectedComponents {
       .select($"x.node".as("node"), $"x.component".as("component"))
       .groupBy($"node").agg(min($"component").as("component"))
   }
+
+  /** Driver-fallback decision: small edge COUNT and small id PAYLOAD (chars
+    * ×2 for UTF-16, ×2 again for union-find map overhead). Pure — unit
+    * tested directly. */
+  private[ops] def solveLocally(edgeCount: Long, idChars: Long,
+                                maxEdges: Long, maxBytes: Long): Boolean =
+    edgeCount <= maxEdges && idChars * 4 <= maxBytes
 
   /** Exact union-find on the driver for broadcast-scale edge sets. */
   private def localUnionFind(spark: SparkSession, e: DataFrame): DataFrame = {

@@ -53,15 +53,23 @@ object Dedup {
         (col("both") / (col("sa") + col("sb") - col("both"))).as("jaccard"))
   }
 
-  /** Exploded distinct word n-grams: (id, token). */
-  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
+  /** Lower-cased word tokens per document `(id, w: array<string>)` — the ONE
+    * corpus text scan the word-token family (simhash, word n-grams) shares;
+    * [[simHashVerifiedPairs]] checkpoints it once so its two sketch families
+    * never re-read the raw text. */
+  private def wordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("w"))
+
+  private def ngramsFromWords(words: DataFrame, n: Int): DataFrame =
     words.filter(size(col("w")) >= n).select(col("id"),
         explode(transform(sequence(lit(0), size(col("w")) - n),
           i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("token"))
       .distinct()
-  }
+
+  /** Exploded distinct word n-grams: (id, token). */
+  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    ngramsFromWords(wordTokens(df, idCol, textCol), n)
 
   /** Word n-gram Jaccard near-dup pairs — same machinery, token shingles. */
   def ngramJaccardPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
@@ -76,9 +84,11 @@ object Dedup {
   /** 64-bit SimHash per document: sign-sum of per-token hash bits weighted by
     * token frequency — near-dups have small Hamming distance. Computed with
     * an explode + 64-way conditional aggregation (no UDF). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)).as("token"))
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashFromWords(wordTokens(df, idCol, textCol))
+
+  private def simHashFromWords(words: DataFrame): DataFrame = {
+    val tok = words.select(col("id"), explode(col("w")).as("token"))
     val hashed = tok.withColumn("h", xxhash64(col("token")))
     val bitSums = (0 until 64).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
@@ -118,12 +128,18 @@ object Dedup {
     * Jaccard ≥ threshold computed on the candidates only, so the output is
     * defined by a reproducible exact metric (oracle-checkable); the
     * sketches only decide which pairs get scored. Both blockers are banded
-    * + bucket-capped — scale-safe, never all-pairs. */
+    * + bucket-capped — scale-safe, never all-pairs.
+    *
+    * The raw corpus text is scanned ONCE: both sketch families (simhash
+    * word tokens and word n-grams) derive from the same checkpointed
+    * [[wordTokens]] frame — the round-2 formulation paid the dominant text
+    * scan twice. */
   def simHashVerifiedPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.8,
                            numHashes: Int = 16, rowsPerBand: Int = 2,
                            bucketCap: Int = 1000): DataFrame = {
-    val sh = simHash(df, idCol, textCol).localCheckpoint(true)
+    val words = wordTokens(df, idCol, textCol).localCheckpoint(true)
+    val sh = simHashFromWords(words).localCheckpoint(true)
     val bandKeys = (0 until 4).map { b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
@@ -131,7 +147,7 @@ object Dedup {
     // same hub-bucket cap as every other blocker: a degenerate band key
     // shared by millions of docs must not go quadratic
     val simCand = TextSim.candidatePairs(bands, bucketCap)
-    val grams = wordNgrams(df, idCol, textCol, n).localCheckpoint(true)
+    val grams = ngramsFromWords(words, n).localCheckpoint(true)
     val sig = TextSim.minHashSignatures(grams, numHashes)
     val minCand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
     val cand = simCand.union(minCand).distinct()

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * scale path blocks with random-hyperplane LSH (sign sketches) so only
   * bucket-local pairs are scored.
   *
-  * Vector math runs through a native Catalyst expression
-  * (graft.functions.CosineSimilarity — one fused codegen loop per row);
-  * the `zip_with` + `aggregate` higher-order formulation is kept as the
-  * portable fallback. No UDFs, vectors never leave the executor.
+  * Vector math runs through native Catalyst expressions
+  * (graft.functions.{CosineSimilarity, NearestCells, SignSketch} — one
+  * fused codegen loop per row each); the `zip_with` + `aggregate`
+  * higher-order formulations are kept as portable fallbacks and parity
+  * oracles. No UDFs, vectors never leave the executor.
   */
 object Similarity {
 
@@ -65,8 +66,18 @@ object Similarity {
 
   /** Random-hyperplane sign sketch: bit i = sign(dot(v, h_i)) where h_i is a
     * deterministic pseudo-random hyperplane derived from (i, dimension index)
-    * via xxhash64 — reproducible across runs with no stored model. */
-  def signSketch(vecCol: Column, bits: Int): Column = {
+    * via xxhash64 parity — reproducible across runs with no stored model.
+    * Native fused loop (graft.functions.SignSketch); requires
+    * [[graft.functions.GraftFunctions.register]] (every caller here does). */
+  def signSketch(vecCol: Column, bits: Int): Column =
+    call_function("sign_sketch", vecCol, lit(bits))
+
+  /** Portable HOF formulation of [[signSketch]] — bit-identical by
+    * construction (same hash chain, same left-to-right double accumulation);
+    * kept as the parity oracle (PlanSpec asserts equality) and for sessions
+    * without the registry. Cost: `bits` interpreted lambda passes per row —
+    * use [[signSketch]] on hot paths. */
+  def signSketchHof(vecCol: Column, bits: Int): Column = {
     val planes = (0 until bits).map { i =>
       // component j of hyperplane i ∈ {-1,+1}: parity of xxhash64(i, j)
       val comp = aggregate(
@@ -103,41 +114,48 @@ object Similarity {
       .select(col("a"), col("b"), cosineNative(col("va"), col("vb")).as("cos"))
   }
 
+  /** The nProbe nearest centroid indices for a vector column, via the native
+    * `ivf_cells` expression: the whole k×dim centroid matrix enters the plan
+    * as ONE foldable literal that is evaluated once into a JVM kernel and
+    * carried as a codegen reference object — plan size and analysis cost are
+    * O(1) in k, so nCentroids can reach the √N cell counts the 100 TB sizing
+    * prescribes (10³–10⁴ cells) without Catalyst blowup. Per row: one fused
+    * O(k·dim) loop. (This replaces the round-2 `array(struct(lit…))`
+    * formulation whose k·dim literal NODES capped IVF at toy cell counts.) */
+  private def nearestCells(vecCol: Column, centroids: Array[Seq[Double]], nProbe: Int): Column =
+    call_function("ivf_cells", vecCol, typedLit(centroids.toSeq), lit(nProbe))
+
   /** Deterministic distributed k-means (spherical, cosine assignment) for
     * IVF coarse quantization: seeds are a deterministic hash-based sample
     * (xxhash64 of the id — no Random, reproducible across runs and
-    * partitionings), then `iters` rounds of assign + mean. Each round is
-    * one join against a broadcast centroid array (k·dim doubles — tiny)
+    * partitionings), then `iters` rounds of assign + mean. Each round is one
+    * native-kernel assignment pass (the centroid matrix rides along as a
+    * single k·dim-double reference object — broadcast-sized by construction)
     * plus one groupBy(cell) aggregation; vectors never leave executors
-    * except the k mean vectors collected per round. */
+    * except the k mean vectors collected per round.
+    * @return centroid vectors indexed by cell id (0-based) */
   def kMeansCentroids(spark: SparkSession, data: DataFrame, k: Int,
-                      iters: Int = 5): Array[(String, Seq[Double])] = {
+                      iters: Int = 5): Array[Seq[Double]] = {
     graft.functions.GraftFunctions.register(spark)
     val dim = data.select(size(col("v"))).head().getInt(0)
-    var centroids: Array[(String, Seq[Double])] = data
+    var centroids: Array[Seq[Double]] = data
       .withColumn("__r", xxhash64(col("id")))
       .orderBy(col("__r"), col("id")).limit(k)
       .select(col("v")).collect()
-      .zipWithIndex.map { case (r, i) =>
-        (i.toString, r.getSeq[Any](0).map(x => x.toString.toDouble))
-      }
+      .map(r => r.getSeq[Any](0).map(x => x.toString.toDouble))
     for (_ <- 0 until iters) {
-      val centCol = array(centroids.map { case (cid, v) =>
-        struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-      }: _*)
-      val best = array_max(transform(centCol, c =>
-        struct(cosineNative(col("v"), c.getField("cv")).as("cos"), c.getField("cid").as("cid"))))
       val sums = (0 until dim).map(i =>
         sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
-      val means = data.withColumn("cell", best.getField("cid"))
+      val means = data
+        .withColumn("cell", element_at(nearestCells(col("v"), centroids, 1), 1))
         .groupBy(col("cell")).agg(count(lit(1)).as("n"), sums: _*)
         .collect()
       // empty cells keep their previous centroid (deterministic)
       val updated = means.map { r =>
         val n = r.getLong(1).toDouble
-        (r.getString(0), (0 until dim).map(i => r.getDouble(i + 2) / n))
+        (r.getInt(0), (0 until dim).map(i => r.getDouble(i + 2) / n): Seq[Double])
       }.toMap
-      centroids = centroids.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
+      centroids = centroids.zipWithIndex.map { case (v, i) => updated.getOrElse(i, v) }
     }
     centroids
   }
@@ -148,24 +166,21 @@ object Similarity {
   def ivfTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               kmeansIters: Int = 5): DataFrame = {
-    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val data = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
     val centroids = kMeansCentroids(spark, data, nCentroids, kmeansIters)
-    val centArr = centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }
-    val centCol = array(centArr: _*)
     // assign: per row, the nProbe centroids with max cosine
-    val assigned = data.withColumn("cells",
-      slice(reverse(array_sort(transform(centCol, c =>
-        struct(cosineNative(col("v"), c.getField("cv")).as("cos"), c.getField("cid").as("cid"))))), 1, nProbe))
-      .select(col("id"), col("v"), explode(col("cells.cid")).as("cell"))
+    val assigned = data
+      .select(col("id"), col("v"),
+        explode(nearestCells(col("v"), centroids, nProbe)).as("cell"))
     val q = array(query.map(lit): _*)
-    val qCells = centroids.map { case (cid, v) =>
-      (cid.toString, Similarity.cosSeq(v, query))
-    }.sortBy(-_._2).take(nProbe).map(_._1).toSet
-    assigned.filter(col("cell").isin(qCells.toSeq: _*))
+    // query probes its own nProbe best cells — same ranking (cos desc,
+    // index asc) as the kernel, computed driver-side on the tiny matrix
+    val qCells = centroids.zipWithIndex
+      .map { case (v, i) => (i, cosSeq(v, query)) }
+      .sortBy { case (i, c) => (-c, i) }
+      .take(nProbe).map(_._1).toSeq
+    assigned.filter(col("cell").isin(qCells: _*))
       .select(col("id"), cosineNative(col("v"), q).as("cos")).distinct()
       .orderBy(desc("cos"), asc("id")).limit(k)
   }
@@ -183,9 +198,10 @@ object Similarity {
     * that is the driver-oracle configuration; partial probe is the
     * approximate scale configuration (recall asserted in OpsSpec).
     *
-    * At 100 TB: nCentroids should grow ~√N (10⁴⁺ cells), so the join key
-    * space is wide and AQE's skew split handles lumpy cells; the centroid
-    * array stays k·dim doubles — broadcast-sized by construction.
+    * At 100 TB: nCentroids grows ~√N (10⁴⁺ cells) — the native-kernel
+    * assignment keeps the plan O(1) in k (see [[nearestCells]]), the join
+    * key space is wide so AQE's skew split handles lumpy cells, and the
+    * centroid matrix stays k·dim doubles in one reference object.
     *
     * @return (qid, id, cos) with rank ≤ k per qid, ties broken by id asc */
   def ivfBatchTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
@@ -195,19 +211,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
     val centroids = kMeansCentroids(spark, c, nCentroids, kmeansIters)
-    val centCol = array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
     // corpus → exactly one cell (its max-cosine centroid)
-    val ranked = transform(centCol, cc =>
-      struct(cosineNative(col("v"), cc.getField("cv")).as("cos"), cc.getField("cid").as("cid")))
-    val corpusCells = c.withColumn("cell", array_max(ranked).getField("cid"))
+    val corpusCells = c.withColumn("cell",
+      element_at(nearestCells(col("v"), centroids, 1), 1))
     // queries → their nProbe best cells
     val queryCells = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("cell",
-        explode(slice(reverse(array_sort(transform(centCol, cc =>
-          struct(cosineNative(col("qv"), cc.getField("cv")).as("cos"),
-            cc.getField("cid").as("cid"))))), 1, nProbe).getField("cid")))
+      .select(col("qid"), col("qv"),
+        explode(nearestCells(col("qv"), centroids, nProbe)).as("cell"))
     val scored = queryCells.join(corpusCells, Seq("cell"))
       .select(col("qid"), col("id"),
         cosineNative(col("qv"), col("v")).as("cos"))

@@ -23,8 +23,11 @@ object TargetFilter {
   /** The reference's neighbor eligibility rule
     * (Validation.get_evaluated_out_neighbor, Validation.py:147-175): the
     * neighbor must be fully evaluated with a non-empty invalid list, a valid
-    * or invalid list under 256 entries, a target query, and must not be
-    * referenced through a max constraint (Validation.py:103-104). */
+    * or invalid list under `threshold` entries, a target query, and must not
+    * be referenced through a max constraint (Validation.py:103-104). The
+    * reference hardcodes the threshold at 256; here it is the live `-m`
+    * knob — see the ValidatorConfig.maxSplitSize note on this intentional
+    * divergence. */
   def eligibleNeighbor(shape: Shape, evaluated: Map[String, ShapeVerdict],
                        schema: ShapeSchema, threshold: Long = 256): Option[String] = {
     shape.shapeRefs.distinct.find { ref =>
@@ -49,15 +52,18 @@ object TargetFilter {
     * InstancesRetrieval.py:164-178 as one left-outer join + conditional
     * aggregate instead of a VALUES-chunked query series. The eligibility
     * rule guarantees `refValid` is small (< 256), so it is broadcast — the
-    * Spark analogue of the reference's VALUES-list injection. */
+    * Spark analogue of the reference's VALUES-list injection.
+    *
+    * `expandSequencePaths` must mirror the validator's knob: path semantics
+    * come from the shared [[PathAlgebra.edges]], so a sequence-path
+    * constraint prunes through the same multi-hop joins the constraint
+    * evaluation uses (and matches nothing when the knob is off — consistent
+    * with the validator, which then counts zero for everyone). */
   def classify(spark: SparkSession, triples: DataFrame, targets: DataFrame,
-               constraint: CardConstraint, refValid: DataFrame): Classified = {
+               constraint: CardConstraint, refValid: DataFrame,
+               expandSequencePaths: Boolean = false): Classified = {
     import spark.implicits._
-    val path = constraint.path match {
-      case DirectPath(p)  => triples.filter($"pred" === p).select($"subj".as("focus"), $"obj".as("o"))
-      case InversePath(p) => triples.filter($"pred" === p).select($"obj".as("focus"), $"subj".as("o"))
-      case SequencePath(_) => spark.emptyDataset[(String, String)].toDF("focus", "o")
-    }
+    val path = PathAlgebra.edges(triples, constraint.path, expandSequencePaths)
     val linked = path.join(broadcast(refValid.withColumnRenamed("focus", "o")), Seq("o"), "left_semi")
     val counted = targets
       .join(linked, Seq("focus"), "left")

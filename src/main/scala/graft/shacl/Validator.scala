@@ -30,9 +30,14 @@ final case class ValidatorConfig(
     expandSequencePaths: Boolean = false,
     /** Reference `-m maxSize` (main.py:38-39): max number of instances a
       * neighbor's verdict list may hold to qualify for A10 target
-      * pre-filtering (Validation.py:147-175 eligibility rule). In the
-      * reference it also caps VALUES-chunk sizes — obsolete here, Spark
-      * joins have no query-length limit. */
+      * pre-filtering. INTENTIONAL DIVERGENCE from the reference: there, `-m`
+      * only sets the per-query VALUES chunk size (Shape.py, query splitting)
+      * while the A10 eligibility threshold is hardcoded at 256
+      * (Validation.py:162-164). Chunking is obsolete on Spark (joins have no
+      * endpoint-URL length limit), so the knob is repurposed as the live
+      * eligibility threshold — `-m 1000` changes pruning here where the
+      * reference would not. Plan-only either way: verdict invariance across
+      * `-m` values is asserted by PlanSpec and the golden grid. */
     maxSplitSize: Long = 256
 )
 
@@ -126,26 +131,10 @@ final class Validator(
 
   private val stats = new ValidationStats
 
-  /** Edges for a path: (focus, o). Inverse paths swap subject/object
-    * (ShapeParser.py:507-511); sequence paths are opaque and match nothing
-    * (parity with the reference generator, which never expands them) unless
-    * `expandSequencePaths` compiles them to multi-hop equi-joins — each hop
-    * filters one predicate, so over the pred-partitioned triple layout every
-    * hop is a pruned scan, and the hop joins shuffle on the intermediate
-    * node id (no driver-side state, no cartesians). */
-  private def pathEdges(path: PathExpr): DataFrame = path match {
-    case DirectPath(p)  => triples.filter($"pred" === p).select($"subj".as("focus"), $"obj".as("o"))
-    case InversePath(p) => triples.filter($"pred" === p).select($"obj".as("focus"), $"subj".as("o"))
-    case SequencePath(iris) if config.expandSequencePaths && iris.nonEmpty =>
-      val first = triples.filter($"pred" === iris.head)
-        .select($"subj".as("focus"), $"obj".as("o"))
-      iris.tail.foldLeft(first) { (acc, p) =>
-        val hop = triples.filter($"pred" === p)
-          .select($"subj".as("o"), $"obj".as("o2"))
-        acc.join(hop, Seq("o")).select($"focus", $"o2".as("o"))
-      }
-    case SequencePath(_) => spark.emptyDataset[(String, String)].toDF("focus", "o")
-  }
+  /** Edges for a path: (focus, o) — see [[PathAlgebra.edges]] (shared with
+    * A10 target pre-filtering so both sides agree on path semantics). */
+  private def pathEdges(path: PathExpr): DataFrame =
+    PathAlgebra.edges(triples, path, config.expandSequencePaths)
 
   /** A1/A3 target scan. A custom target query (`sh:targetQuery` / JSON
     * `targetDef.query`) takes precedence over `sh:targetClass` — the
@@ -465,28 +454,38 @@ final class Validator(
     val referencedIds: Set[String] = schema.shapes
       .flatMap(x => schema.dependencies.getOrElse(x.id, Nil)).toSet
 
+    /** A10 filtered target extraction: when a referenced neighbor is already
+      * fully evaluated and passes the reference's eligibility rule
+      * (Validation.py:147-175), classify this shape's targets against the
+      * neighbor's valid list and fold the immediately-invalid ones into
+      * inv0 — early violation pruning with identical verdicts (the
+      * planner-knob grid asserts the invariance). Applied per shape in
+      * traversal order REGARDLESS of recursion, like the reference
+      * (Validation.py:101-110): inside a cyclic SCC only out-of-SCC
+      * neighbors qualify (in-SCC shapes are not yet in `state`), and a
+      * target pruned into inv0 is indistinguishable to the fixpoint from
+      * one proven F in round 1 — F is monotone, so verdicts are unchanged
+      * while the fixpoint's working set shrinks up front. */
+    def a10Prune(s: Shape, inv0raw: DataFrame): DataFrame = {
+      var inv0 = inv0raw
+      if (config.selective) {
+        TargetFilter.eligibleNeighbor(s, state.toMap, schema, config.maxSplitSize).foreach { ref =>
+          s.minConstraints.find(_.shapeRef.contains(ref)).foreach { c =>
+            val cls = TargetFilter.classify(spark, triples, targets(s.id), c,
+              state(ref).validFinal, config.expandSequencePaths)
+            inv0 = inv0.union(cls.invalid)
+            stats.prunedShapes += 1
+          }
+        }
+      }
+      inv0
+    }
+
     stats.sccCount = sccs.size
     for (scc <- sccs) {
       if (!schema.isCyclic(scc)) {
         val s = schema.byId(scc.head)
-        // A10 filtered target extraction: when a referenced neighbor is
-        // already fully evaluated and passes the reference's eligibility
-        // rule (Validation.py:147-175), classify this shape's targets
-        // against the neighbor's valid list and fold the immediately-invalid
-        // ones into inv0 — early violation pruning with identical verdicts
-        // (the planner-knob grid asserts the invariance).
-        var inv0 = invalid0raw(s.id)
-        if (config.selective) {
-          TargetFilter.eligibleNeighbor(s, state.toMap, schema, config.maxSplitSize).foreach { ref =>
-            s.minConstraints.find(_.shapeRef.contains(ref)).foreach { c =>
-              val cls = TargetFilter.classify(
-                spark, triples, targets(s.id), c, state(ref).validFinal)
-              inv0 = inv0.union(cls.invalid)
-              stats.prunedShapes += 1
-            }
-          }
-        }
-        val inv0d = pin(s.id, inv0.distinct())
+        val inv0d = pin(s.id, a10Prune(s, invalid0raw(s.id)).distinct())
         val marked = pin(s.id, evalShape(s, inv0d))
         // A shape with dependents is consumed from MULTIPLE downstream plan
         // branches (each dependent's joinStats, plus the final report). If
@@ -500,10 +499,13 @@ final class Validator(
       } else {
         stats.cyclicSccCount += 1
         val tSat = System.nanoTime()
-        // 3-valued fixpoint: T and F grow monotonically from (∅, invalid0);
-        // iteration mirrors saturate_remaining (Validation.py:417-432).
+        // 3-valued fixpoint: T and F grow monotonically from (∅, invalid0 ∪
+        // A10-pruned); iteration mirrors saturate_remaining
+        // (Validation.py:417-432). A10 runs against fully-evaluated
+        // out-of-SCC neighbors only — exactly where the reference applies
+        // target filtering for recursive shapes too (Validation.py:101-110).
         val inv0d = scc.map { id =>
-          id -> invalid0raw(id).distinct().localCheckpoint(true)
+          id -> a10Prune(schema.byId(id), invalid0raw(id)).distinct().localCheckpoint(true)
         }.toMap
         scc.foreach { id =>
           state(id) = ShapeVerdict(targets(id), inv0d(id), emptyMarked().localCheckpoint(true))

@@ -111,6 +111,79 @@ class PlanSpec extends SparkTestBase {
     tiny.unpersist()
   }
 
+  test("A10 pruning fires inside cyclic SCCs against evaluated out-of-SCC neighbors") {
+    import graft.shacl._
+    val ns = "http://r.example.org/"
+    // N is acyclic and evaluated first (non-empty invalid < 256); A and B
+    // form a cyclic SCC, and A also min-references N — the reference applies
+    // target filtering per shape in traversal order regardless of recursion
+    // (Validation.py:101-110), so A's targets must be pre-classified.
+    val triples = Seq(
+      ("n1", graft.rdf.Rdf.rdfType, ns + "N"), ("n2", graft.rdf.Rdf.rdfType, ns + "N"),
+      ("n1", ns + "line", "l1"), // n2 has no line → invalid
+      ("a1", graft.rdf.Rdf.rdfType, ns + "A"), ("a2", graft.rdf.Rdf.rdfType, ns + "A"),
+      ("b1", graft.rdf.Rdf.rdfType, ns + "B"),
+      ("a1", ns + "an", "n1"), ("a2", ns + "an", "n2"),
+      ("a1", ns + "ab", "b1"), ("b1", ns + "ba", "a1")
+    ).toDF("subj", "pred", "obj")
+    val schema = ShapeSchema(Seq(
+      Shape(ns + "A", Some(ns + "A"), None, Some(s"SELECT ?x WHERE { ?x a <${ns}A> }"),
+        Seq(CardConstraint("a_n", DirectPath(ns + "an"), min = 1, shapeRef = Some(ns + "N")),
+          CardConstraint("a_b", DirectPath(ns + "ab"), min = 1, shapeRef = Some(ns + "B"))),
+        Nil, Nil),
+      Shape(ns + "B", Some(ns + "B"), None, Some(s"SELECT ?x WHERE { ?x a <${ns}B> }"),
+        Seq(CardConstraint("b_a", DirectPath(ns + "ba"), min = 1, shapeRef = Some(ns + "A"))),
+        Nil, Nil),
+      Shape(ns + "N", Some(ns + "N"), None, Some(s"SELECT ?x WHERE { ?x a <${ns}N> }"),
+        Seq(CardConstraint("n_l", DirectPath(ns + "line"), min = 1)), Nil, Nil)))
+    def run(selective: Boolean) =
+      new Validator(spark, triples, schema, ValidatorConfig(selective = selective)).run()
+    val on = run(true)
+    val off = run(false)
+    assert(on.stats.cyclicSccCount == 1, "A/B must form a cyclic SCC")
+    assert(on.stats.prunedShapes >= 1, "A10 must fire for the in-cycle shape A")
+    assert(off.stats.prunedShapes == 0)
+    def sets(r: ValidationResult, id: String) = (
+      r.valid(ns + id).collect().map(_.getString(0)).toSet,
+      r.invalid(ns + id).collect().map(_.getString(0)).toSet)
+    for (id <- Seq("A", "B", "N"))
+      assert(sets(on, id) == sets(off, id), s"verdicts for $id must be invariant")
+    assert(sets(on, "A") == (Set("a1"), Set("a2")))
+    on.unpersist(); off.unpersist()
+  }
+
+  test("A10 pruning honors expandSequencePaths (shared path semantics)") {
+    import graft.shacl._
+    val ns = "http://s.example.org/"
+    // S min-references N through a SEQUENCE path has/sub; with the knob on,
+    // TargetFilter.classify must count through the same 2-hop expansion the
+    // validator uses — s2 (reaching only the invalid n2) is pruned, s1 is
+    // not, and verdicts match the non-selective evaluation exactly.
+    val triples = Seq(
+      ("n1", graft.rdf.Rdf.rdfType, ns + "N"), ("n2", graft.rdf.Rdf.rdfType, ns + "N"),
+      ("n1", ns + "line", "l1"),
+      ("s1", graft.rdf.Rdf.rdfType, ns + "S"), ("s2", graft.rdf.Rdf.rdfType, ns + "S"),
+      ("s1", ns + "has", "m1"), ("m1", ns + "sub", "n1"),
+      ("s2", ns + "has", "m2"), ("m2", ns + "sub", "n2")
+    ).toDF("subj", "pred", "obj")
+    val schema = ShapeSchema(Seq(
+      Shape(ns + "S", Some(ns + "S"), None, Some(s"SELECT ?x WHERE { ?x a <${ns}S> }"),
+        Seq(CardConstraint("s_n", SequencePath(Seq(ns + "has", ns + "sub")), min = 1,
+          shapeRef = Some(ns + "N"))), Nil, Nil),
+      Shape(ns + "N", Some(ns + "N"), None, Some(s"SELECT ?x WHERE { ?x a <${ns}N> }"),
+        Seq(CardConstraint("n_l", DirectPath(ns + "line"), min = 1)), Nil, Nil)))
+    def run(selective: Boolean) = new Validator(spark, triples, schema,
+      ValidatorConfig(selective = selective, expandSequencePaths = true)).run()
+    val on = run(true)
+    val off = run(false)
+    assert(on.stats.prunedShapes == 1, "sequence-path constraint must prune under the knob")
+    def sets(r: ValidationResult) = (
+      r.valid(ns + "S").collect().map(_.getString(0)).toSet,
+      r.invalid(ns + "S").collect().map(_.getString(0)).toSet)
+    assert(sets(on) == sets(off) && sets(on) == (Set("s1"), Set("s2")))
+    on.unpersist(); off.unpersist()
+  }
+
   test("bucketed triple table: groupBy(subj) aggregates without a shuffle") {
     val triples = (0 until 1000)
       .map(i => (s"s${i % 100}", s"http://x/p${i % 3}", s"o$i"))
@@ -164,6 +237,25 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WholeStageCodegen"), s"expected codegen, got:\n${plan.take(500)}")
     assert(!plan.contains("cosinesimilarity_doGenCode_fallback"),
       "native cosine must not fall back to interpreted eval")
+  }
+
+  test("native sign_sketch: bit-identical to the HOF form, codegen'd") {
+    import graft.ops.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(24)(j => (math.sin(i * 1.7 + j) * (1 + (j % 3))).toFloat))
+    }.toDF("id", "v")
+    val both = vecs.select(
+      Similarity.signSketch($"v", 16).as("native"),
+      Similarity.signSketchHof($"v", 16).as("hof")).collect()
+    // same hash chain (xxhash64 seed 42, hashInt per child) and same
+    // left-to-right double accumulation → bit-identical sketches
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)),
+      "native sign_sketch must reproduce the HOF sketch exactly")
+    val plan = vecs.select(Similarity.signSketch($"v", 16).as("s"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(plan.contains("WholeStageCodegen"), s"expected codegen, got:\n${plan.take(500)}")
   }
 
   test("extraction and text-analysis expressions stay inside whole-stage codegen") {

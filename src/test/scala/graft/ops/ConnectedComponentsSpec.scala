@@ -45,6 +45,22 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(local == dist)
   }
 
+  test("driver fallback is byte-bounded, not only count-bounded") {
+    // pure decision: 1000 edges of fat IRIs (100k chars avg) must NOT be
+    // solved on the driver even though the count is far under the 1M gate
+    assert(ConnectedComponents.solveLocally(1000L, 200L, 1000000L, 64L << 20))
+    assert(!ConnectedComponents.solveLocally(1000L, 100L * 1000 * 1000, 1000000L, 64L << 20))
+    // e2e: fat ids + a tiny byte cap route through the distributed rounds
+    // and still produce the exact components
+    val fat = "x" * 2000
+    val edges = Seq((s"a$fat", s"b$fat"), (s"b$fat", s"c$fat"), (s"p$fat", s"q$fat"))
+      .toDF("src", "dst")
+    val comp = ConnectedComponents.run(spark, edges, localThresholdBytes = 1024)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp(s"c$fat") == s"a$fat" && comp(s"q$fat") == s"p$fat")
+    assert(comp.size == 5)
+  }
+
   test("self loops and duplicate edges are harmless") {
     val comp = components(Seq("a" -> "a", "a" -> "b", "b" -> "a", "c" -> "c"))
     assert(comp.get("a").contains("a") || comp.get("b").contains("a"))

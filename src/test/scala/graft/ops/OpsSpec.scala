@@ -148,9 +148,34 @@ class OpsSpec extends SparkTestBase {
     val a = Similarity.kMeansCentroids(spark, data, 8)
     val b = Similarity.kMeansCentroids(spark, data, 8)
     assert(a.toSeq == b.toSeq, "k-means must be reproducible across runs")
-    assert(a.length == 8 && a.forall(_._2.length == 4))
+    assert(a.length == 8 && a.forall(_.length == 4))
     // iterated centroids must differ from the raw seeds (means moved)
     val seeds = Similarity.kMeansCentroids(spark, data, 8, iters = 0)
-    assert(a.map(_._2).toSeq != seeds.map(_._2).toSeq)
+    assert(a.toSeq != seeds.toSeq)
+  }
+
+  test("IVF reaches large cell counts: nCentroids=256 stays exact at full probe") {
+    // the round-2 literal-centroid formulation embedded k·dim literal NODES
+    // in the plan — at k=256×16 dims Catalyst analysis already crawled; the
+    // native kernel keeps the plan O(1) in k. Full probe must stay EXACT.
+    val vecs = (0 until 2000).map { i =>
+      (i.toLong, Seq.tabulate(16)(j => math.sin(i * 0.37 + j * 1.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 5)
+    val corpus = vecs.filter($"vec_id" >= 5)
+    val full = Similarity.ivfBatchTopK(spark, queries, corpus, "vec_id", "embedding",
+        k = 3, nCentroids = 256, nProbe = 256, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.crossTopK(queries, corpus, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "256-cell full probe must equal brute force")
+    // single-query path at the same cell count
+    val q = Seq.tabulate(16)(j => math.sin(7 * 0.37 + j * 1.1))
+    val ivf = Similarity.ivfTopK(spark, corpus, "vec_id", "embedding", q, 10,
+        nCentroids = 256, nProbe = 256, kmeansIters = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == bf, "256-cell full-probe single query must equal brute force")
   }
 }
