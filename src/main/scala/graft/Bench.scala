@@ -62,11 +62,14 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    // diagnostics: SPARK_GRAFT_ONLY=q1,q2 restricts the set,
-    // SPARK_GRAFT_REPEAT=N times each query N times (min reported) —
-    // for separating engine cost from this sandbox's noise bursts
+    // Measurement discipline: SPARK_GRAFT_ONLY=q1,q2 restricts the set,
+    // SPARK_GRAFT_REPEAT=N times each query N times and reports the MIN —
+    // this sandbox's burst-throttled disk produces 3-100x outliers on
+    // identical code (BENCH/BASELINE.md), so single-run numbers are noise.
+    // Default 2: one full extra pass bounds the wall cost while catching
+    // the common one-burst case; local analysis uses REPEAT=3.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val selected = headline.filter(n => only.forall(_.contains(n)))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -83,36 +86,55 @@ object Bench {
     }
 
     // true Structured Streaming run: events parquet as a file stream →
-    // watermarked windowed aggregation → memory sink
-    if (only.forall(_.contains("streaming_window_e2e")))
-    results("streaming_window_e2e") = time {
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet") // file source needs a dir
-        .parquet(sfDir)
-        // parquet written without tz metadata infers TIMESTAMP_NTZ; event
-        // time (watermark) requires LTZ — session tz is UTC, cast is exact
-        .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      val q = graft.streaming.EventStream.runToMemory(spark,
-        graft.streaming.EventStream.windowedCounts(stream), s"bench_win_$cpus")
-      q.stop()
+    // watermarked windowed aggregation → memory sink. Same repeat/min
+    // discipline; each rep gets its own query name (fresh memory sink +
+    // checkpoint subdir — streaming refuses to reuse either).
+    if (only.forall(_.contains("streaming_window_e2e"))) {
+      val runs = (1 to repeat).map { rep =>
+        val s = time {
+          val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet") // file source needs a dir
+            .parquet(sfDir)
+            // parquet written without tz metadata infers TIMESTAMP_NTZ; event
+            // time (watermark) requires LTZ — session tz is UTC, cast is exact
+            .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+          val q = graft.streaming.EventStream.runToMemory(spark,
+            graft.streaming.EventStream.windowedCounts(stream), s"bench_win_${cpus}_$rep")
+          q.stop()
+        }
+        spark.catalog.clearCache()
+        s
+      }
+      if (repeat > 1) System.err.println(
+        s"[bench] streaming_window_e2e runs: ${runs.map(r => f"$r%.2f").mkString(", ")}")
+      results("streaming_window_e2e") = runs.min
     }
-    spark.catalog.clearCache()
 
-    // end-to-end KG construction + validation throughput
-    val kgDir = scratch match {
-      case Some(s) =>
-        val d = new java.io.File(s"$s/kg_bench_$cpus")
-        org.apache.commons.io.FileUtils.deleteQuietly(d); d.mkdirs(); d.toString
-      case None => java.nio.file.Files.createTempDirectory("kg_bench").toString
-    }
+    // end-to-end KG construction + validation throughput. Each rep runs in
+    // a FRESH work dir — reusing one would resume from the previous rep's
+    // checkpoints and time a no-op.
     var triples = 0L
-    if (only.forall(_.contains("kg_pipeline_e2e")))
-    results("kg_pipeline_e2e") = time {
-      val turns = graft.kg.TranscriptGen.generate(spark, benchConvs, 300).toDF()
-      val res = graft.kg.Pipeline.run(spark, turns, kgDir, validate = true)
-      triples = res.triples.count()
+    if (only.forall(_.contains("kg_pipeline_e2e"))) {
+      val runs = (1 to repeat).map { rep =>
+        val kgDir = scratch match {
+          case Some(s) =>
+            val d = new java.io.File(s"$s/kg_bench_${cpus}_$rep")
+            org.apache.commons.io.FileUtils.deleteQuietly(d); d.mkdirs(); d.toString
+          case None => java.nio.file.Files.createTempDirectory("kg_bench").toString
+        }
+        val s = time {
+          val turns = graft.kg.TranscriptGen.generate(spark, benchConvs, 300).toDF()
+          val res = graft.kg.Pipeline.run(spark, turns, kgDir, validate = true)
+          triples = res.triples.count()
+        }
+        spark.catalog.clearCache()
+        s
+      }
+      if (repeat > 1) System.err.println(
+        s"[bench] kg_pipeline_e2e runs: ${runs.map(r => f"$r%.2f").mkString(", ")}")
+      results("kg_pipeline_e2e") = runs.min
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

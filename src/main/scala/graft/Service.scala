@@ -13,7 +13,14 @@ import java.nio.charset.StandardCharsets
   * params `schemaDir` and `dataPath` (triple parquet or Turtle file),
   * validates with the reference's fixed service configuration (DFS,
   * heuristics TARGET IN BIG, selective=true — app/__init__.py:14-18) and
-  * returns a JSON document of per-shape verdicts.
+  * returns a JSON document of per-shape verdicts — or, with `format=html`
+  * (or an `Accept: text/html` header), the reference's HTML result table
+  * (instance / shape / color-coded validation result / finished@shape —
+  * app/__init__.py:47-92). `GET /validate` serves a minimal form, like the
+  * reference's GET branch. One divergence, documented: `finished@shape`
+  * here always equals the target's own shape — the set-algebra engine has
+  * no interleaved "resolved while evaluating another shape" scheduling
+  * artifact to report.
   *
   * Built on the JDK's HttpServer — no additional dependencies. One shared
   * SparkSession serves all requests (the reference resets its endpoint
@@ -33,18 +40,23 @@ object Service {
       case c => c.toString
     }
 
-  /** Run one validation and render the reference's response payload
-    * (shape -> valid/violated instance lists) as JSON. */
-  def validateToJson(spark: SparkSession, schemaDir: String, dataPath: String,
-                     maxInstances: Int = 1000): String = {
+  private def runValidation(spark: SparkSession, schemaDir: String,
+                            dataPath: String): ValidationResult = {
     val triples =
       if (dataPath.endsWith(".ttl")) TripleStore.fromTurtleFile(spark, dataPath)
       else TripleStore.readParquet(spark, dataPath)
     val schema = ShapeParser.parseDir(schemaDir)
     // fixed service config, reference app/__init__.py:14-18
-    val result = new Validator(spark, triples, schema,
+    new Validator(spark, triples, schema,
       ValidatorConfig(selective = true, traversal = Traversal.DFS,
         heuristics = Traversal.DefaultHeuristics)).run()
+  }
+
+  /** Run one validation and render the reference's response payload
+    * (shape -> valid/violated instance lists) as JSON. */
+  def validateToJson(spark: SparkSession, schemaDir: String, dataPath: String,
+                     maxInstances: Int = 1000): String = {
+    val result = runValidation(spark, schemaDir, dataPath)
     val shapes = result.verdicts.toSeq.sortBy(_._1).map { case (id, v) =>
       def list(df: org.apache.spark.sql.DataFrame): String =
         df.orderBy("focus").limit(maxInstances).collect()
@@ -72,6 +84,49 @@ object Service {
     out
   }
 
+  private def htmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  /** The reference's HTML result table (app/__init__.py:47-92): one row per
+    * registered target, columns instance / shape / validation result
+    * (green "valid", red "invalid") / finished@shape, wrapped in the
+    * "returned N validation results in T seconds" header div. */
+  def validateToHtml(spark: SparkSession, schemaDir: String, dataPath: String,
+                     maxInstances: Int = 1000): String = {
+    val t0 = System.nanoTime()
+    val result = runValidation(spark, schemaDir, dataPath)
+    val rows = new StringBuilder
+    var n = 0
+    result.verdicts.toSeq.sortBy(_._1).foreach { case (id, v) =>
+      def emit(df: org.apache.spark.sql.DataFrame, verdict: String, color: String): Unit =
+        df.orderBy("focus").limit(maxInstances).collect().foreach { r =>
+          n += 1
+          val inst = htmlEscape(r.getString(0))
+          val shape = htmlEscape(id.stripPrefix("<").stripSuffix(">"))
+          rows ++= s"""<tr><td>$inst</td><td>$shape</td><td style="color: $color">$verdict</td><td>$shape</td></tr>"""
+        }
+      emit(v.validFinal, "valid", "green")
+      emit(v.invalid, "invalid", "red")
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val header = Seq("instance", "shape", "validation result", "finished@shape")
+      .map(h => s"<th>$h</th>").mkString
+    val out = s"""<div>graft (Trav-SHACL semantics) returned $n validation results in $secs seconds.<br><br>""" +
+      """<table border="0px" style="border-spacing: 10px; margin-left: auto; margin-right: auto;">""" +
+      s"<tr>$header</tr>$rows</table></div>"
+    result.unpersist()
+    out
+  }
+
+  /** The reference's GET /validate form (validate.jinja2 equivalent). */
+  private[graft] val formHtml: String =
+    """<html><body><form method="POST" action="/validate">
+      |  <label>schemaDir <input name="schemaDir" size="60"/></label><br/>
+      |  <label>dataPath <input name="dataPath" size="60"/></label><br/>
+      |  <label>format <select name="format"><option>json</option><option>html</option></select></label><br/>
+      |  <input type="submit" value="validate"/>
+      |</form></body></html>""".stripMargin
+
   private def parseForm(body: String): Map[String, String] =
     body.split("&").filter(_.contains("=")).map { kv =>
       val Array(k, v) = kv.split("=", 2)
@@ -90,15 +145,23 @@ object Service {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/validate", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
-        if (ex.getRequestMethod != "POST") {
-          respond(ex, 405, """{"error":"POST only"}""")
+        if (ex.getRequestMethod == "GET") {
+          // reference parity: GET serves the input form (app/__init__.py:22-24)
+          respond(ex, 200, formHtml, "text/html")
+        } else if (ex.getRequestMethod != "POST") {
+          respond(ex, 405, """{"error":"GET or POST only"}""")
         } else {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val form = parseForm(body)
           (form.get("schemaDir"), form.get("dataPath")) match {
             case (Some(schemaDir), Some(dataPath)) =>
               val maxInstances = form.get("maxInstances").map(_.toInt).getOrElse(1000)
-              respond(ex, 200, validateToJson(spark, schemaDir, dataPath, maxInstances))
+              val wantsHtml = form.get("format").contains("html") ||
+                Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains("text/html"))
+              if (wantsHtml)
+                respond(ex, 200, validateToHtml(spark, schemaDir, dataPath, maxInstances), "text/html")
+              else
+                respond(ex, 200, validateToJson(spark, schemaDir, dataPath, maxInstances))
             case _ =>
               respond(ex, 400, """{"error":"missing form params schemaDir and dataPath"}""")
           }

@@ -70,14 +70,14 @@ object Extraction {
 
   def factsCompactWith(turns: DataFrame, carry: Seq[String]): DataFrame = {
     val keyCols = Seq(col("conv_id"), col("turn_idx")) ++ carry.map(col)
-    // contains() prefilter: filler-only turns (~1/3 of the corpus) carry none
-    // of the trigger substrings, and contains() is ~10x cheaper per byte than
-    // the alternation regex — skipping them before regexp_extract_all pays on
-    // the dominant extraction scan. The regex still decides every kept row,
-    // so the filter can only remove rows the regex would reject anyway.
-    val triggers = relTriggerToPred.keys.toSeq.sorted :+ "is a"
+    // NO contains() trigger prefilter — MEASURED no longer profitable under
+    // the compact encoding (ExtractionProbe, 136M-turn ScalingBench corpus,
+    // local[8], min of 2): bare regex scan 92.9 s; contains()-prefiltered
+    // scan 95.7 s; the filter alone costs 27.6 s and only removes 27% of
+    // turns ("is a" appears in most fact-bearing turns), so the surviving
+    // 73% of bytes get scanned twice. The earlier ~10x-per-byte claim
+    // predated the single-pass `regexp_extract_all` formulation.
     turns
-      .filter(triggers.map(t => col("text").contains(t)).reduce(_ || _))
       .select(keyCols :+
         explode(regexp_extract_all(col("text"), lit(factPattern), lit(0))).as("sent"): _*)
       .select(keyCols ++ Seq(

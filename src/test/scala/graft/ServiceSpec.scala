@@ -45,4 +45,39 @@ class ServiceSpec extends SparkTestBase {
       assert(health.statusCode() == 200)
     } finally server.stop(0)
   }
+
+  test("HTML surface: GET serves the form, format=html renders the result table") {
+    val server = Service.makeServer(spark, 0)
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      // reference GET branch: the input form
+      val get = client.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/validate")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 200)
+      assert(get.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(get.body().contains("schemaDir") && get.body().contains("<form"))
+      // reference POST result table (app/__init__.py:47-92): header columns,
+      // color-coded verdict cells, the result-count header line
+      val form = "schemaDir=src/test/resources/lubm/shapes" +
+        "&dataPath=src/test/resources/lubm/LUBM.ttl&maxInstances=10&format=html"
+      val req = HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/validate"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(form)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val body = resp.body()
+      assert(resp.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      for (h <- Seq("instance", "shape", "validation result", "finished@shape"))
+        assert(body.contains(s"<th>$h</th>"), s"missing column $h")
+      assert(body.contains("""<td style="color: green">valid</td>"""))
+      assert(body.contains("""<td style="color: red">invalid</td>"""))
+      assert(body.contains("validation results in"))
+      // known-good fixture: 23 targets total, all rendered under maxInstances=10/shape
+      val rows = "<td style=\"color: (green|red)\">".r.findAllIn(body).size
+      assert(rows == 23, s"expected 23 verdict rows, got $rows")
+    } finally server.stop(0)
+  }
 }
