@@ -304,6 +304,23 @@ object SparkEntry {
         .select(col("qid"), col("id"))
     }),
 
+    // persistent-index serving path: fit on a deterministic sample cap
+    // (training never scans the full corpus), save → load roundtrip, ONE
+    // corpus assignment pass, then the blocked batch probe. Full probe is
+    // exact → shares the batch k-NN ground truth.
+    "q_ann_index_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val dir = java.nio.file.Files.createTempDirectory("ivf_entry").toString
+      graft.ops.IvfIndex.fit(s, corpus, "vec_id", "embedding",
+        nCentroids = 8, iters = 3, trainCap = 500).save(s, s"$dir/index")
+      val idx = graft.ops.IvfIndex.load(s, s"$dir/index")
+      val assigned = idx.assignCorpus(corpus, "vec_id", "embedding")
+      idx.batchTopK(queries, assigned, "vec_id", "embedding", k = 5, nProbe = 8)
+        .select(col("qid"), col("id"))
+    }),
+
     "q_ann_lsh_pairs" -> ((s, d) => {
       // the synthetic corpus has no natural pairs above ~0.51 cosine, so the
       // query PLANTS exact-direction duplicates (vec scaled by 2, new ids)
@@ -631,6 +648,19 @@ object SparkEntry {
     // exact ground truth for the full-probe IVF batch plan: per-query rank
     // over the q×c cartesian, top 5, ties by corpus id
     "q_ann_batch_topk" ->
+      """SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, c.vec_id AS id,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                             c.vec_id ASC) AS rk
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND c.vec_id >= 10)
+         WHERE rk <= 5""",
+
+    // index path probes every cell (nProbe = nCentroids) → exact, same
+    // ground truth as the batch query regardless of sample-trained centroids
+    "q_ann_index_topk" ->
       """SELECT qid, id FROM (
            SELECT q.vec_id AS qid, c.vec_id AS id,
                   row_number() OVER (

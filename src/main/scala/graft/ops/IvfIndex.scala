@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF coarse-quantization index — the 100 TB serving shape for
+  * approximate similarity search. [[Similarity.ivfBatchTopK]] re-trains
+  * k-means inside every call (fine for one-shot analytics, wrong for a
+  * pipeline that answers many query batches): here the index is FIT once
+  * (k-means on a deterministic bounded sample — the full corpus is never
+  * scanned per training iteration), persisted as a tiny parquet of k·dim
+  * doubles, and the corpus is assigned to cells in ONE pass whose result
+  * can itself be stored bucketed by `cell` for shuffle-free probing.
+  *
+  * All vector math runs through the native kernels
+  * ([[graft.functions.NearestCells]], [[graft.functions.CosineSimilarity]]);
+  * plans stay O(1) in nCentroids.
+  *
+  * @param centroids cell id (array index) → centroid vector
+  */
+final case class IvfIndex(centroids: Array[Seq[Double]]) {
+
+  def nCentroids: Int = centroids.length
+
+  private def cells(vecCol: Column, nProbe: Int): Column =
+    call_function("ivf_cells", vecCol, typedLit(centroids.toSeq), lit(nProbe))
+
+  /** One-pass corpus assignment: input columns preserved, plus `cell` (the
+    * max-cosine centroid index). Write the result bucketed/partitioned by
+    * `cell` to serve probes without a shuffle. */
+  def assignCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", element_at(cells(col("v"), 1), 1))
+  }
+
+  /** Batch k-NN against a PRE-ASSIGNED corpus (the output of
+    * [[assignCorpus]], possibly read back from its bucketed layout):
+    * queries explode to their nProbe cells, meet the corpus in an equi-join
+    * on `cell`, exact cosine re-ranks, a per-query window keeps top k.
+    * Identical plan shape to [[Similarity.ivfBatchTopK]] minus the
+    * training. @return (qid, id, cos), rank ≤ k per qid, ties by id asc */
+  def batchTopK(queries: DataFrame, corpusCells: DataFrame,
+                idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"), explode(cells(col("qv"), nProbe)).as("cell"))
+    val scored = q.join(corpusCells, Seq("cell"))
+      .select(col("qid"), col("id"),
+        Similarity.cosineNative(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"))
+  }
+
+  /** Persist as parquet (cell: int, centroid: array<double>) — k·dim
+    * doubles, metadata-sized at any corpus scale. */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+}
+
+object IvfIndex {
+
+  /** Fit on a deterministic sample: the `trainCap` lowest-xxhash64(id) rows
+    * (uniform, order- and partitioning-independent, reproducible). The full
+    * corpus is touched only by [[IvfIndex.assignCorpus]] afterwards — never
+    * by the k-means iterations. */
+  def fit(spark: SparkSession, data: DataFrame, idCol: String, vecCol: String,
+          nCentroids: Int, iters: Int = 5, trainCap: Long = 100000): IvfIndex = {
+    val d = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+    IvfIndex(Similarity.kMeansCentroids(spark, d, nCentroids, iters, trainCap))
+  }
+
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    val rows = spark.read.parquet(path).select(col("cell"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    IvfIndex(rows.map(_._2))
+  }
+}

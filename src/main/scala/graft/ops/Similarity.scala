@@ -134,11 +134,23 @@ object Similarity {
     * plus one groupBy(cell) aggregation; vectors never leave executors
     * except the k mean vectors collected per round.
     * @return centroid vectors indexed by cell id (0-based) */
+  /** @param trainCap 0 = train on the full frame (exact current semantics —
+    *        the oracle-checked configuration). > 0 = train on the `trainCap`
+    *        lowest-xxhash64(id) rows (a deterministic uniform sample, order-
+    *        and partitioning-independent): at 100 TB the per-iteration
+    *        assignment scan must NOT touch the full corpus — k-means
+    *        converges on a bounded sample and the corpus is assigned ONCE
+    *        afterwards (see [[IvfIndex]]). */
   def kMeansCentroids(spark: SparkSession, data: DataFrame, k: Int,
-                      iters: Int = 5): Array[Seq[Double]] = {
+                      iters: Int = 5, trainCap: Long = 0): Array[Seq[Double]] = {
     graft.functions.GraftFunctions.register(spark)
-    val dim = data.select(size(col("v"))).head().getInt(0)
-    var centroids: Array[Seq[Double]] = data
+    val train =
+      if (trainCap <= 0) data
+      else data.withColumn("__h", xxhash64(col("id")))
+        .orderBy(col("__h"), col("id")).limit(trainCap.toInt)
+        .select(col("id"), col("v")).localCheckpoint(true)
+    val dim = train.select(size(col("v"))).head().getInt(0)
+    var centroids: Array[Seq[Double]] = train
       .withColumn("__r", xxhash64(col("id")))
       .orderBy(col("__r"), col("id")).limit(k)
       .select(col("v")).collect()
@@ -146,7 +158,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
-      val means = data
+      val means = train
         .withColumn("cell", element_at(nearestCells(col("v"), centroids, 1), 1))
         .groupBy(col("cell")).agg(count(lit(1)).as("n"), sums: _*)
         .collect()

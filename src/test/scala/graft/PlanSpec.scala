@@ -218,6 +218,27 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("cell"), s"expected a cell-keyed join, got:\n$plan")
   }
 
+  test("IVF plan size is O(1) in nCentroids (single-literal centroid matrix)") {
+    import graft.ops.IvfIndex
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    def planNodes(k: Int): Int = {
+      val centroids = Array.tabulate(k)(i => Seq.tabulate(8)(j => math.cos(i + j)))
+      val plan = IvfIndex(centroids).assignCorpus(vecs, "vec_id", "embedding")
+        .queryExecution.optimizedPlan
+      plan.collect { case n =>
+        n.expressions.map(e => e.collect { case x => x }.size).sum
+      }.sum
+    }
+    val (small, big) = (planNodes(16), planNodes(1024))
+    // the r2 array(struct(lit…)) formulation grew the expression tree by
+    // k·dim literal NODES (64x here); the whole matrix is now ONE Literal
+    assert(big == small,
+      s"expression-node count must not grow with nCentroids: k=16 → $small, k=1024 → $big")
+  }
+
   test("native cosine expression: bit-identical to the HOF form, codegen'd") {
     import graft.ops.Similarity
     graft.functions.GraftFunctions.register(spark)

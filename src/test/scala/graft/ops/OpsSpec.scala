@@ -141,6 +141,42 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"batch IVF recall $recall")
   }
 
+  test("IvfIndex: sample-capped fit, save/load roundtrip, exact full probe") {
+    val vecs = (0 until 1000).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.53 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 5)
+    val corpus = vecs.filter($"vec_id" >= 5)
+    // training touches only the 200 lowest-hash rows, never the full corpus
+    val idx = IvfIndex.fit(spark, corpus, "vec_id", "embedding",
+      nCentroids = 16, iters = 3, trainCap = 200)
+    assert(idx.nCentroids == 16)
+    val idx2 = IvfIndex.fit(spark, corpus, "vec_id", "embedding",
+      nCentroids = 16, iters = 3, trainCap = 200)
+    assert(idx.centroids.toSeq == idx2.centroids.toSeq, "fit must be deterministic")
+    // save → load roundtrip is exact
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    idx.save(spark, s"$dir/index")
+    val loaded = IvfIndex.load(spark, s"$dir/index")
+    assert(loaded.centroids.toSeq == idx.centroids.toSeq)
+    // full probe over the pre-assigned corpus is EXACT even though the
+    // centroids were trained on a sample (probing every cell sees all rows)
+    val assigned = loaded.assignCorpus(corpus, "vec_id", "embedding").localCheckpoint(true)
+    assert(assigned.count() == 995 && assigned.columns.toSeq == Seq("id", "v", "cell"))
+    val got = loaded.batchTopK(queries, assigned, "vec_id", "embedding",
+        k = 4, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.crossTopK(queries, corpus, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, "index full probe must equal brute force")
+    // partial probe stays useful on sample-trained centroids
+    val partial = loaded.batchTopK(queries, assigned, "vec_id", "embedding",
+        k = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (partial & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"sample-trained partial-probe recall $recall")
+  }
+
   test("k-means centroids are deterministic and partition the corpus") {
     val data = (0 until 120).map { i =>
       (i.toString, Seq.tabulate(4)(j => math.cos(i * 1.3 + j)))
