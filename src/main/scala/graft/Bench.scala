@@ -15,7 +15,8 @@ object Bench {
     "q_shacl_validate", "q_shacl_validate_bucketed", "q_min_card", "q_or_union", "q_filtered_target_classify",
     "q_agg_pricing_summary", "q_join_star", "q_window_first_event",
     "q_stream_window_batch", "q_dedup_exact", "q_dedup_minhash_pairs",
-    "q_dedup_simhash_pairs", "q_ann_bruteforce_topk", "q_ann_batch_topk", "q_ann_lsh_pairs",
+    "q_dedup_simhash_pairs", "q_ann_bruteforce_topk", "q_ann_batch_topk",
+    "q_ann_index_topk", "q_ann_lsh_pairs",
     "q_token_count", "q_text_quality", "q_lang_id")
 
   def main(args: Array[String]): Unit = {
