@@ -341,6 +341,18 @@ object SparkEntry {
         Multimodal.synthesizePayloads(t(s, d, "documents"), "doc_id", "text"))
         .select(col("media_id"), col("byte_len"))),
 
+    // REAL byte-level container decode: payloads carry genuine PNG/WAV/AVI
+    // headers; decodeHeaders sniffs the magic and parses dims / sample
+    // rate / frame counts from the header bytes. The oracle recomputes the
+    // expected values independently from md5(text) hex arithmetic — the
+    // same deterministic source the synthesizer uses.
+    "q_multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.synthesizePayloads(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.decodeHeaders(s, media.as[Multimodal.MediaRow]).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"), col("n_frames"))
+    }),
+
     "q_kg_pipeline" -> ((s, d) => {
       // deterministic micro-corpus; d is unused by design (pure generator).
       // Emits precision/recall of the constructed triples against the
@@ -581,8 +593,37 @@ object SparkEntry {
          SELECT u AS node, least(u, min(v)) AS component
          FROM reach GROUP BY u""",
 
+    // per-type container header length: PNG sig+IHDR 33, canonical WAV 44,
+    // AVI RIFF + 56-byte avih 88; type from the same md5 arithmetic the
+    // synthesizer uses
     "q_multimodal_meta" ->
-      "SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len FROM documents",
+      """WITH t AS (SELECT doc_id, md5(text) AS m, octet_length(encode(text)) AS blen FROM documents)
+         SELECT doc_id AS media_id,
+                blen + CASE ord(substr(m,9,1)) % 3 WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 88 END AS byte_len
+         FROM t""",
+
+    "q_multimodal_decode" ->
+      """WITH p AS (SELECT doc_id AS media_id, md5(text) AS m, octet_length(encode(text)) AS blen FROM documents),
+         c AS (SELECT media_id, blen,
+                      ord(substr(m,1,1))*256 + ord(substr(m,2,1)) AS h12,
+                      ord(substr(m,3,1))*256 + ord(substr(m,4,1)) AS h34,
+                      ord(substr(m,5,1)) AS h5,
+                      ord(substr(m,6,1)) AS h6,
+                      ord(substr(m,7,1))*256 + ord(substr(m,8,1)) AS h78,
+                      ord(substr(m,9,1)) % 3 AS t
+               FROM p)
+         SELECT media_id,
+                CASE t WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                CAST(CASE t WHEN 0 THEN 16 + h12 % 1024
+                            WHEN 1 THEN 8000 + (h5 % 8) * 4000
+                            ELSE 16 + h12 % 1024 END AS INT) AS width,
+                CAST(CASE t WHEN 0 THEN 16 + h34 % 1024
+                            WHEN 1 THEN 1 + h6 % 2
+                            ELSE 16 + h34 % 1024 END AS INT) AS height,
+                CAST(CASE t WHEN 0 THEN 1
+                            WHEN 1 THEN blen // ((1 + h6 % 2) * 2)
+                            ELSE 1 + h78 % 300 END AS INT) AS n_frames
+         FROM c""",
 
     "q_ann_bruteforce_topk" ->
       """SELECT e.vec_id AS id

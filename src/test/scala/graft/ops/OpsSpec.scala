@@ -109,6 +109,33 @@ class OpsSpec extends SparkTestBase {
     assert(frames.count() == vids.map(v => (v.n_frames + 9) / 10).sum)
   }
 
+  test("multimodal container headers decode exactly (real byte-level parse)") {
+    val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
+    val feats = Multimodal.decodeHeaders(spark, media.as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val (t, w, h, rate, ch, fr) = Multimodal.paramsFor(text)
+      val f = feats(id)
+      assert(f.media_type == t, s"sniffed type for $id must match the synthesized container")
+      val bodyLen = text.getBytes("UTF-8").length
+      t match {
+        case "image" =>
+          assert(f.width == w && f.height == h && f.n_frames == 1 && f.byte_len == 33 + bodyLen)
+        case "audio" =>
+          assert(f.width == rate && f.height == ch &&
+            f.n_frames == bodyLen / (ch * 2) && f.byte_len == 44 + bodyLen)
+        case _ =>
+          assert(f.width == w && f.height == h && f.n_frames == fr && f.byte_len == 88 + bodyLen)
+      }
+      assert(f.brightness > 0)
+    }
+    // unknown container → the declared stub fallback, type sniffed as unknown
+    val unk = Multimodal.decodeHeaders(spark,
+      Seq(Multimodal.MediaRow(99L, "blob", Array[Byte](1, 2, 3))).toDS()).collect().head
+    assert(unk.media_type == "unknown" && unk.byte_len == 3)
+  }
+
   test("ivf ann with k-means cells reaches recall >= 0.8 vs brute force") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
