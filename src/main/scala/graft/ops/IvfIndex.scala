@@ -66,6 +66,18 @@ final case class IvfIndex(centroids: Array[Seq[Double]]) {
 
 object IvfIndex {
 
+  /** Persist an assigned corpus ([[IvfIndex.assignCorpus]] output) as a
+    * catalog table bucketed by `cell`: probes then join WITHOUT exchanging
+    * the corpus side — only the (tiny, query×nProbe) probe frame shuffles
+    * to meet the buckets. At 100 TB this is the difference between
+    * re-shuffling the whole corpus per query batch and a bucket-local
+    * lookup (PlanSpec asserts the corpus-side Exchange is gone). */
+  def writeAssignedBucketed(assigned: DataFrame, table: String, buckets: Int = 64): Unit =
+    assigned.write.mode("overwrite")
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .saveAsTable(table)
+
   /** Fit on a deterministic sample: the `trainCap` lowest-xxhash64(id) rows
     * (uniform, order- and partitioning-independent, reproducible). The full
     * corpus is touched only by [[IvfIndex.assignCorpus]] afterwards — never

@@ -218,6 +218,45 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("cell"), s"expected a cell-keyed join, got:\n$plan")
   }
 
+  test("bucketed IVF corpus: probe join does not exchange the corpus side") {
+    import graft.ops.IvfIndex
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = IvfIndex.fit(spark, vecs.filter($"vec_id" >= 8), "vec_id", "embedding",
+      nCentroids = 8, iters = 2, trainCap = 100)
+    spark.sql("DROP TABLE IF EXISTS plan_ivf_corpus")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + "/plan_ivf_corpus"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warehouse))
+    IvfIndex.writeAssignedBucketed(
+      idx.assignCorpus(vecs.filter($"vec_id" >= 8), "vec_id", "embedding"),
+      "plan_ivf_corpus", buckets = 8)
+    val corpusCells = spark.table("plan_ivf_corpus")
+    val out = idx.batchTopK(vecs.filter($"vec_id" < 8), corpusCells,
+      "vec_id", "embedding", k = 3, nProbe = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus side comes straight off its buckets: every Exchange in the
+    // plan sits on the probe/window side, none between the bucketed scan
+    // and the join — i.e. the scan reports its buckets and the join keys on
+    // cell without a corpus shuffle
+    val scanLine = plan.linesIterator.find(_.contains("plan_ivf_corpus")).getOrElse("")
+    assert(scanLine.nonEmpty && plan.contains("SelectedBucketsCount"),
+      s"expected a bucketed scan of plan_ivf_corpus, got:\n$plan")
+    val joinIdx = plan.linesIterator.indexWhere(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    if (joinIdx >= 0) {
+      // corpus subtree = lines after the join's second child begins; crude
+      // but effective: no Exchange may mention the bucketed relation path
+      val exchangesOnCorpus = plan.linesIterator.zipWithIndex.exists { case (l, i) =>
+        l.contains("Exchange") && plan.linesIterator.slice(i, i + 4).exists(_.contains("plan_ivf_corpus"))
+      }
+      assert(!exchangesOnCorpus, s"corpus side must not re-shuffle:\n$plan")
+    }
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+  }
+
   test("IVF plan size is O(1) in nCentroids (single-literal centroid matrix)") {
     import graft.ops.IvfIndex
     graft.functions.GraftFunctions.register(spark)
