@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Property-style randomized checks over the three native kernels
+  * (cosine_sim, sign_sketch, ivf_cells): bit-identity with the portable
+  * HOF/Scala formulations across random dimensions, magnitudes and both
+  * array element types, plus null-row propagation. Fixed seeds — each case
+  * is deterministic. */
+class KernelPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randVec(rnd: Random, dim: Int): Seq[Double] =
+    Seq.fill(dim)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(4) - 1))
+
+  private def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("cosine_sim matches the HOF form bit-for-bit on random dims/magnitudes") {
+    graft.functions.GraftFunctions.register(spark)
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rnd = new Random(seed)
+      val dim = 1 + rnd.nextInt(64)
+      val rows = (0 until 50).map(i => (i.toLong, randVec(rnd, dim))).toDF("id", "v")
+      val q = array(randVec(rnd, dim).map(lit): _*)
+      val both = rows.select(
+        Similarity.cosineNative($"v", q).as("native"),
+        Similarity.cosine($"v", q).as("hof")).collect()
+      assert(both.forall(r => r.getDouble(0) == r.getDouble(1)), s"seed=$seed dim=$dim")
+    }
+  }
+
+  test("sign_sketch matches the HOF form bit-for-bit on random dims and bit widths") {
+    graft.functions.GraftFunctions.register(spark)
+    for (seed <- Seq(3L, 19L, 77L)) {
+      val rnd = new Random(seed)
+      val dim = 1 + rnd.nextInt(48)
+      val bits = 1 + rnd.nextInt(32)
+      // float vectors — the production embedding type
+      val rows = (0 until 60).map(i => (i.toLong, randVec(rnd, dim).map(_.toFloat))).toDF("id", "v")
+      val both = rows.select(
+        Similarity.signSketch($"v", bits).as("native"),
+        Similarity.signSketchHof($"v", bits).as("hof")).collect()
+      assert(both.forall(r => r.getLong(0) == r.getLong(1)), s"seed=$seed dim=$dim bits=$bits")
+    }
+  }
+
+  test("ivf_cells top-p ordering matches a driver-side reference on random inputs") {
+    graft.functions.GraftFunctions.register(spark)
+    for (seed <- Seq(5L, 23L, 91L)) {
+      val rnd = new Random(seed)
+      val dim = 2 + rnd.nextInt(16)
+      val k = 2 + rnd.nextInt(12)
+      val p = 1 + rnd.nextInt(k)
+      val centroids = Array.fill(k)(randVec(rnd, dim))
+      val vecs = (0 until 40).map(i => (i.toLong, randVec(rnd, dim)))
+      val got = vecs.toDF("id", "v")
+        .select($"id", call_function("ivf_cells",
+          $"v", typedLit(centroids.toSeq), lit(p)).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      vecs.foreach { case (id, v) =>
+        val expected = centroids.zipWithIndex
+          .map { case (c, i) => (i, cosSeq(v, c)) }
+          .sortBy { case (i, cos) => (-cos, i) }
+          .take(p).map(_._1).toSeq
+        assert(got(id) == expected, s"seed=$seed id=$id dim=$dim k=$k p=$p")
+      }
+    }
+  }
+
+  test("null vectors propagate null through all three kernels") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, Option.empty[Seq[Float]]))
+      .toDF("id", "v")
+    val cent = typedLit(Seq(Seq(1.0, 0.0)))
+    val out = rows.select($"id",
+        call_function("cosine_sim", $"v", $"v").as("c"),
+        call_function("sign_sketch", $"v", lit(8)).as("s"),
+        call_function("ivf_cells", $"v", cent, lit(1)).as("cells"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).isNullAt(1) && !out(1L).isNullAt(2) && !out(1L).isNullAt(3))
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2) && out(2L).isNullAt(3))
+  }
+}
