@@ -153,6 +153,13 @@ object SparkEntry {
       t(s, d, "customer").select(col("c_custkey").as("focus"), col("c_name"))
         .orderBy(col("focus")).limit(20)),
 
+    // standard-RDF interop: N-Triples serialization of the triple view
+    // (subjects/predicates as IRIs; objects IRI iff http(s)-absolute,
+    // else escaped literal). Lines parse back via the Turtle reader —
+    // round-trip asserted in TurtleParserSpec.
+    "q_export_ntriples" -> ((s, d) =>
+      graft.rdf.TripleStore.toNTriples(asTriples(s, d))),
+
     "q_shacl_validate" -> ((s, d) => shaclValidate(s, d)),
 
     "q_shacl_validate_bucketed" -> ((s, d) => shaclValidateBucketed(s, d)),
@@ -447,6 +454,24 @@ object SparkEntry {
 
     "q_order_by_limit" ->
       "SELECT c_custkey AS focus, c_name FROM customer ORDER BY c_custkey LIMIT 20",
+
+    "q_export_ntriples" ->
+      """WITH t AS (
+           SELECT 'c' || c_custkey AS subj,
+                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                  'Customer' AS obj FROM customer
+           UNION ALL
+           SELECT 'o' || o_orderkey,
+                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'Order' FROM orders
+           UNION ALL
+           SELECT 'c' || o_custkey, 'hasOrder', 'o' || o_orderkey FROM orders
+           UNION ALL
+           SELECT 'o' || l_orderkey, 'hasLine',
+                  'o' || l_orderkey || 'l' || l_linenumber FROM lineitem)
+         SELECT '<' || subj || '> <' || pred || '> ' ||
+                CASE WHEN regexp_matches(obj, '^https?://') THEN '<' || obj || '>'
+                     ELSE '"' || obj || '"' END || ' .' AS line
+         FROM t""",
 
     "q_shacl_validate" ->
       """WITH valid_orders AS (

@@ -43,4 +43,28 @@ object TripleStore {
       .bucketBy(buckets, "subj")
       .sortBy("subj")
       .saveAsTable(table)
+
+  /** N-Triples serialization of a triple frame — the standard interop
+    * format the reference's SPARQL world loads. The engine is string-typed
+    * (SURVEY §1.2: the reference discards datatypes), so the IRI-vs-literal
+    * decision for OBJECTS is a deterministic policy: values matching
+    * `iriObjectPattern` (default: absolute http/https IRIs) serialize as
+    * `<iri>`, everything else as an escaped quoted literal (backslash,
+    * quote, newline, carriage return — the N-Triples mandatory escapes).
+    * Subjects and predicates are always IRIs, per RDF.
+    * @return single-column DataFrame (line STRING), distributed — write
+    *         with `.write.text(dir)`; lines are valid Turtle, so
+    *         [[fromTurtleFile]] parses them back (round-trip asserted in
+    *         TurtleParserSpec). */
+  def toNTriples(df: DataFrame, iriObjectPattern: String = "^https?://"): DataFrame = {
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+        "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
+    val objTerm = when(col("obj").rlike(iriObjectPattern),
+        concat(lit("<"), col("obj"), lit(">")))
+      .otherwise(concat(lit("\""), esc(col("obj")), lit("\"")))
+    df.select(concat(
+      lit("<"), col("subj"), lit("> <"), col("pred"), lit("> "),
+      objTerm, lit(" .")).as("line"))
+  }
 }

@@ -75,6 +75,23 @@ class TurtleParserSpec extends AnyFunSuite {
     assert(sel.obj.value.contains("FILTER( ?o > 2022 )"))
   }
 
+  test("N-Triples export round-trips through the Turtle parser") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rows = Seq(
+      ("http://ex.org/s1", Rdf.rdfType, "http://ex.org/Person"),
+      ("http://ex.org/s1", "http://ex.org/name", "Ada \"the\" Analyst\\1\nline2"),
+      ("http://ex.org/s2", "http://ex.org/knows", "http://ex.org/s1"),
+      ("http://ex.org/s2", "http://ex.org/note", "plain literal"))
+    val nt = TripleStore.toNTriples(rows.toDF("subj", "pred", "obj"))
+      .collect().map(_.getString(0)).sorted.mkString("\n")
+    // escapes are serialized
+    assert(nt.contains("\\\"the\\\"") && nt.contains("\\n") && nt.contains("\\\\1"))
+    val back = Rdf.toStringTriples(TurtleParser.parse(nt))
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    assert(back == rows.toSet, s"round-trip mismatch:\n$nt\nparsed=$back")
+  }
+
   test("parses the LUBM example fixture") {
     val triples = Rdf.toStringTriples(TurtleParser.parseFile("src/test/resources/lubm/LUBM.ttl"))
     assert(triples.nonEmpty)
