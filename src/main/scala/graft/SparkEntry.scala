@@ -233,6 +233,13 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) =>
       Dedup.fingerprint(t(s, d, "documents"), "doc_id", "text")),
 
+    // rolling-hash document fingerprinting (winnowing): k-gram md5 hashes,
+    // sliding-window minima — shared substrings ≥ k+window-1 chars are
+    // GUARANTEED to share a fingerprint; reproduced exactly by the DuckDB
+    // oracle (same md5 grams, same lexicographic window minima)
+    "q_fingerprint_winnow" -> ((s, d) =>
+      Dedup.winnowingFingerprints(t(s, d, "documents"), "doc_id", "text")),
+
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id").as("id"),
         size(regexp_extract_all(col("text"),
@@ -561,6 +568,16 @@ object SparkEntry {
       """SELECT doc_id AS id,
                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
          FROM documents""",
+
+    "q_fingerprint_winnow" ->
+      """WITH t AS (SELECT doc_id AS id,
+                           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+                    FROM documents),
+         g AS (SELECT id, [md5(substring(nt, i, 8)) FOR i IN range(1, length(nt) - 7 + 1)] AS gh
+               FROM t WHERE length(nt) - 7 >= 4),
+         m AS (SELECT id, list_distinct([list_min(gh[j:j+3]) FOR j IN range(1, len(gh) - 3 + 1)]) AS fps
+               FROM g)
+         SELECT id, unnest(fps) AS fingerprint FROM m""",
 
     "q_token_count" ->
       """SELECT doc_id AS id,

@@ -23,6 +23,30 @@ object Dedup {
     df.select(col(idCol).as("id"),
       md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("fingerprint"))
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, the
+    * MOSS scheme): hash every char k-gram of the normalized text, slide a
+    * window of `window` consecutive gram hashes, keep each window's MINIMUM
+    * — guaranteeing any shared substring of length ≥ k+window-1 contributes
+    * a shared fingerprint, while local edits only perturb nearby windows.
+    * One row per distinct (id, fingerprint).
+    *
+    * The gram hash is `md5` hex and the window minimum is lexicographic —
+    * both reproducible in ANSI SQL, so the operator is DuckDB-oracle-
+    * checkable end-to-end. All array work happens INSIDE the row (transform
+    * over index sequences — no per-gram explode): the only shuffle is the
+    * final distinct, over the winnowed (small) fingerprint set. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, window: Int = 4): DataFrame = {
+    val nt = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val nGrams = greatest(length(nt) - (k - 1), lit(0))
+    val gramHashes = transform(sequence(lit(1), nGrams), i => md5(nt.substr(i, lit(k))))
+    val mins = transform(sequence(lit(1), greatest(nGrams - (window - 1), lit(0))),
+      j => array_min(slice(gramHashes, j, lit(window))))
+    df.filter(nGrams >= window)
+      .select(col(idCol).as("id"), explode(array_distinct(mins)).as("fingerprint"))
+      .distinct()
+  }
+
   /** MinHash-LSH near-duplicate pairs over character shingles:
     * shingle → minhash signature → banded LSH buckets → bucket-local pairs →
     * exact Jaccard verification on the candidates only.

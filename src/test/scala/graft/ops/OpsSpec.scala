@@ -30,6 +30,18 @@ class OpsSpec extends SparkTestBase {
     assert(f(1L) != f(3L))
   }
 
+  test("winnowing fingerprints: edit-local, normalization-invariant") {
+    val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    // identical and whitespace/case-variant texts → identical fingerprints
+    assert(fps(1L) == fps(2L) && fps(1L) == fps(7L))
+    // one-word edit (dog→cat) keeps most fingerprints
+    val shared = (fps(1L) & fps(3L)).size.toDouble / fps(1L).size
+    assert(shared > 0.5, s"local edit must preserve most fingerprints ($shared)")
+    // unrelated text shares nothing
+    assert((fps(1L) & fps(6L)).isEmpty)
+  }
+
   test("minhash near-dup pairs find the near duplicate") {
     val pairs = Dedup.minHashNearDupPairs(spark, docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
