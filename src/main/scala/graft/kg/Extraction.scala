@@ -20,11 +20,6 @@ object Extraction {
     "organization" -> Universe.clsOrg,
     "project" -> Universe.clsProject)
 
-  private val relPattern =
-    s"($MentionRe) (${relTriggerToPred.keys.toSeq.sorted.mkString("|")}) ($MentionRe) \\."
-  private val typePattern =
-    s"($MentionRe) is a (${kindWordToClass.keys.toSeq.sorted.mkString("|")}) \\."
-
   /** One combined pattern so relation and type facts come from a single
     * regex pass over the corpus — the transcript scan is the dominant
     * data-volume stage and must not run twice. */

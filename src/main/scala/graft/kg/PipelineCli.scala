@@ -5,8 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Standalone runner for the construction pipeline over a synthesized
   * transcript corpus:
   *   runMain graft.kg.PipelineCli <workDir> [--convs N] [--entities E] [--validate]
+  *     [--out <parquetDir>] [--nt <ntDir>]
   * Prints stage counters, triples/sec end-to-end, and P/R against the
-  * deterministic generator oracle.
+  * deterministic generator oracle. `--out` materializes the
+  * pred-partitioned parquet triple table; `--nt` additionally exports the
+  * graph as N-Triples text (standard RDF interop — loadable by the
+  * reference's SPARQL tooling).
   */
 object PipelineCli {
   def main(args: Array[String]): Unit = {
@@ -15,6 +19,7 @@ object PipelineCli {
     var entities = 120
     var validate = false
     var out = ""
+    var nt = ""
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -22,11 +27,13 @@ object PipelineCli {
         case "--entities" => i += 1; entities = args(i).toInt
         case "--validate" => validate = true
         case "--out" => i += 1; out = args(i)
+        case "--nt" => i += 1; nt = args(i)
         case p => workDir = p
       }
       i += 1
     }
-    require(workDir.nonEmpty, "usage: PipelineCli <workDir> [--convs N] [--entities E] [--validate]")
+    require(workDir.nonEmpty,
+      "usage: PipelineCli <workDir> [--convs N] [--entities E] [--validate] [--out dir] [--nt dir]")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -52,6 +59,9 @@ object PipelineCli {
         TranscriptGen.expectedTriples(spark, convs, entities))
 
       if (out.nonEmpty) Pipeline.materialize(result, out)
+      if (nt.nonEmpty)
+        graft.rdf.TripleStore.toNTriples(result.triples)
+          .write.mode("overwrite").text(nt)
 
       println(s"turns=$turnCount triples=$tripleCount elapsed=${f"$sec%.2f"}s " +
         s"triples_per_sec=${f"${tripleCount / sec}%.0f"} precision=${f"$p%.4f"} recall=${f"$r%.4f"}")
