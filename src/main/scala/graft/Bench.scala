@@ -141,7 +141,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
     val tps = results.get("kg_pipeline_e2e").filter(_ > 0).map(triples / _).getOrElse(0.0)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","kg_triples":$triples,"kg_triples_per_sec":${f"$tps%.1f"},"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","kg_triples":$triples,"kg_triples_per_sec":${f"$tps%.1f"},"cpus":$cpus,"repeat":$repeat,"aggregation":"min"}""")
     spark.stop()
   }
 }

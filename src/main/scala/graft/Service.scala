@@ -143,6 +143,9 @@ object Service {
 
   def makeServer(spark: SparkSession, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // small pool instead of the default single dispatcher thread: a long
+    // validation must not block /health; SparkSession is request-safe
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.createContext("/validate", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
         if (ex.getRequestMethod == "GET") {
