@@ -158,12 +158,15 @@ object Multimodal {
           // 12, but parse positionally for spec conformance)
           var off = 12
           var rate = 0; var ch = 1; var dataSize = 0; var blockAlign = 2
-          while (off + 8 <= b.length) {
+          var malformed = false
+          while (!malformed && off + 8 <= b.length) {
             val id = ascii(b, off, 4); val sz = u32le(b, off + 4)
             if (id == "fmt ") {
               ch = u16le(b, off + 10); rate = u32le(b, off + 12); blockAlign = u16le(b, off + 20)
             } else if (id == "data") dataSize = sz
-            off += 8 + sz
+            // a corrupt size must not walk backwards, spin, or overflow the
+            // offset — stop parsing (fields found so far are kept)
+            if (sz < 0 || sz > b.length) malformed = true else off += 8 + sz
           }
           val frames = if (blockAlign > 0) dataSize / blockAlign else 0
           MediaFeatures(r.media_id, "audio", b.length, checksum, rate, ch, frames,

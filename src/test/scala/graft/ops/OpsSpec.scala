@@ -146,6 +146,13 @@ class OpsSpec extends SparkTestBase {
     val unk = Multimodal.decodeHeaders(spark,
       Seq(Multimodal.MediaRow(99L, "blob", Array[Byte](1, 2, 3))).toDS()).collect().head
     assert(unk.media_type == "unknown" && unk.byte_len == 3)
+    // corrupt WAV chunk size (negative / huge) must terminate, not spin
+    val corrupt = ("RIFF".getBytes("US-ASCII") ++ Array.fill(4)(0xff.toByte) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      Array.fill(4)(0xff.toByte) ++ Array.fill(28)(0.toByte))
+    val c = Multimodal.decodeHeaders(spark,
+      Seq(Multimodal.MediaRow(100L, "audio", corrupt)).toDS()).collect().head
+    assert(c.media_type == "audio" && c.byte_len == corrupt.length)
   }
 
   test("ivf ann with k-means cells reaches recall >= 0.8 vs brute force") {
