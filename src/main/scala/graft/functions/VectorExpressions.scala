@@ -137,9 +137,16 @@ final class CentroidKernel(mat: Array[Array[Double]], probes: Int, vecIsFloat: B
     }
     var cnt = 0
     while (cnt < p && bi(cnt) >= 0) cnt += 1
-    val out = new Array[Int](cnt)
-    System.arraycopy(bi, 0, out, 0, cnt)
-    new GenericArrayData(out)
+    if (cnt == 0 && mat.length > 0) {
+      // zero-magnitude / NaN vector: every cosine is NaN and nothing beats
+      // -Inf. Assign cell 0 deterministically — callers do
+      // element_at(cells, 1), which would throw under ANSI on an empty array.
+      new GenericArrayData(Array(0))
+    } else {
+      val out = new Array[Int](cnt)
+      System.arraycopy(bi, 0, out, 0, cnt)
+      new GenericArrayData(out)
+    }
   }
 }
 
@@ -326,6 +333,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "sign_sketch takes exactly 2 arguments")
         SignSketch(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "winnow_fingerprints takes exactly 3 arguments")
+        WinnowFingerprints(children.head, children(1), children(2))
       })
   }
 }

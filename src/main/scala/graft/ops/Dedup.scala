@@ -23,28 +23,55 @@ object Dedup {
     df.select(col(idCol).as("id"),
       md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("fingerprint"))
 
-  /** Winnowing fingerprints (rolling-hash document fingerprinting, the
-    * MOSS scheme): hash every char k-gram of the normalized text, slide a
-    * window of `window` consecutive gram hashes, keep each window's MINIMUM
-    * — guaranteeing any shared substring of length ≥ k+window-1 contributes
+  /** Winnowing fingerprints (document fingerprinting, the MOSS scheme):
+    * hash every char k-gram of the normalized text, slide a window of
+    * `window` consecutive gram hashes, keep each window's MINIMUM —
+    * guaranteeing any shared substring of length ≥ k+window-1 contributes
     * a shared fingerprint, while local edits only perturb nearby windows.
     * One row per distinct (id, fingerprint).
     *
-    * The gram hash is `md5` hex and the window minimum is lexicographic —
-    * both reproducible in ANSI SQL, so the operator is DuckDB-oracle-
-    * checkable end-to-end. All array work happens INSIDE the row (transform
-    * over index sequences — no per-gram explode): the only shuffle is the
-    * final distinct, over the winnowed (small) fingerprint set. */
+    * Two hash modes (guarantee-equivalent — same gram positions, same
+    * window minima, only the hash differs; parity asserted in OpsSpec):
+    *  - `rolling = false` (oracle mode): md5-hex grams, lexicographic
+    *    minima — reproducible in ANSI SQL, so the operator is
+    *    DuckDB-oracle-checkable end-to-end. Hashing is O(n·k) with a
+    *    32-char hex allocation per gram.
+    *  - `rolling = true` (corpus-scale mode): a TRUE polynomial rolling
+    *    hash via the native `winnow_fingerprints` kernel — one multiply-add
+    *    per byte (O(n)), long fingerprints, window minima by monotonic
+    *    deque, distinct-per-row inside the kernel. No shuffle at all when
+    *    ids are unique (the (id, fingerprint) rows come out distinct).
+    *
+    * All array work happens INSIDE the row (no per-gram explode): in md5
+    * mode the only shuffle is the final distinct, over the winnowed (small)
+    * fingerprint set. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
-                            k: Int = 8, window: Int = 4): DataFrame = {
+                            k: Int = 8, window: Int = 4,
+                            rolling: Boolean = false): DataFrame = {
     val nt = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
-    val nGrams = greatest(length(nt) - (k - 1), lit(0))
-    val gramHashes = transform(sequence(lit(1), nGrams), i => md5(nt.substr(i, lit(k))))
-    val mins = transform(sequence(lit(1), greatest(nGrams - (window - 1), lit(0))),
-      j => array_min(slice(gramHashes, j, lit(window))))
-    df.filter(nGrams >= window)
-      .select(col(idCol).as("id"), explode(array_distinct(mins)).as("fingerprint"))
-      .distinct()
+    if (rolling) {
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      df.select(col(idCol).as("id"),
+        explode(call_function("winnow_fingerprints", nt, lit(k), lit(window)))
+          .as("fingerprint"))
+    } else {
+      val nGrams = greatest(length(nt) - (k - 1), lit(0))
+      val gramHashes = transform(sequence(lit(1), nGrams), i => md5(nt.substr(i, lit(k))))
+      // The gram array MUST be materialized behind a barrier before the
+      // window pass: CollapseProject inlines a once-referenced alias into
+      // the per-window lambda regardless of cost, so without the barrier
+      // each of the ~n windows re-evaluates the whole O(n·k) md5 transform
+      // — O(n²·k) interpreted evaluations per document. Measured: 721 s for
+      // 500 × 300-char docs inlined vs ~2 s materialized (this single query
+      // is what pushed the r3 driver Verify leg past its timeout).
+      val grams = df.filter(nGrams >= window)
+        .select(col(idCol).as("id"), gramHashes.as("gh"))
+        .localCheckpoint(true)
+      val mins = transform(sequence(lit(1), greatest(size(col("gh")) - (window - 1), lit(0))),
+        j => array_min(slice(col("gh"), j, lit(window))))
+      grams.select(col("id"), explode(array_distinct(mins)).as("fingerprint"))
+        .distinct()
+    }
   }
 
   /** MinHash-LSH near-duplicate pairs over character shingles:

@@ -161,21 +161,30 @@ object Multimodal {
           var malformed = false
           while (!malformed && off + 8 <= b.length) {
             val id = ascii(b, off, 4); val sz = u32le(b, off + 4)
-            if (id == "fmt ") {
+            if (id == "fmt " && off + 24 <= b.length) {
               ch = u16le(b, off + 10); rate = u32le(b, off + 12); blockAlign = u16le(b, off + 20)
-            } else if (id == "data") dataSize = sz
+            } else if (id == "data" && sz >= 0 && off + 8 + sz <= b.length) {
+              // only accept a data size the buffer can actually hold — a
+              // truncated blob declaring sz > remaining must not poison the
+              // bodyMean offset below
+              dataSize = sz
+            }
             // a corrupt size must not walk backwards, spin, or overflow the
-            // offset — stop parsing (fields found so far are kept)
-            if (sz < 0 || sz > b.length) malformed = true else off += 8 + sz
+            // offset — stop parsing (fields found so far are kept). Advance
+            // includes the RIFF word-alignment pad byte for odd-sized chunks.
+            if (sz < 0 || sz > b.length) malformed = true else off += 8 + sz + (sz & 1)
           }
           val frames = if (blockAlign > 0) dataSize / blockAlign else 0
           MediaFeatures(r.media_id, "audio", b.length, checksum, rate, ch, frames,
-            bodyMean(b.length - dataSize))
+            bodyMean(math.max(0, b.length - dataSize)))
         } else if (avi) {
           // find the avih chunk inside the hdrl LIST
           var off = 12; var w = 0; var h = 0; var fr = 0
           var found = false
-          while (!found && off + 8 <= b.length) {
+          // reading the MainAVIHeader touches bytes up to off+8+40, so the
+          // scan must guarantee that much buffer — an 'avih' byte string in
+          // the trailing body of a truncated blob must not crash the task
+          while (!found && off + 48 <= b.length) {
             if (ascii(b, off, 4) == "avih") {
               val d = off + 8
               fr = u32le(b, d + 16); w = u32le(b, d + 32); h = u32le(b, d + 36)

@@ -44,6 +44,11 @@ object TripleStore {
       .sortBy("subj")
       .saveAsTable(table)
 
+  /** Pattern for an ABSOLUTE IRI (has a scheme) — the only IRIs the
+    * N-Triples grammar allows inside `<…>` (IRIREF production; relative
+    * IRIs are Turtle-only). */
+  private[rdf] val absoluteIriPattern = "^[A-Za-z][A-Za-z0-9+.\\-]*:"
+
   /** N-Triples serialization of a triple frame — the standard interop
     * format the reference's SPARQL world loads. The engine is string-typed
     * (SURVEY §1.2: the reference discards datatypes), so the IRI-vs-literal
@@ -51,20 +56,29 @@ object TripleStore {
     * `iriObjectPattern` (default: absolute http/https IRIs) serialize as
     * `<iri>`, everything else as an escaped quoted literal (backslash,
     * quote, newline, carriage return — the N-Triples mandatory escapes).
-    * Subjects and predicates are always IRIs, per RDF.
+    * Subjects and predicates are always IRIs, per RDF; bare engine ids
+    * (`c1`, `hasOrder`) carry no scheme, so they are prefixed with
+    * `baseIri` to make each line a grammar-valid ABSOLUTE IRIREF —
+    * rdflib/Jena (the reference's own loaders, SPARQLEndpoint.py:36-52
+    * re-serializes via rdflib) reject relative `<c1>` outright.
     * @return single-column DataFrame (line STRING), distributed — write
     *         with `.write.text(dir)`; lines are valid Turtle, so
     *         [[fromTurtleFile]] parses them back (round-trip asserted in
     *         TurtleParserSpec). */
-  def toNTriples(df: DataFrame, iriObjectPattern: String = "^https?://"): DataFrame = {
+  def toNTriples(df: DataFrame, iriObjectPattern: String = "^https?://",
+                 baseIri: String = "urn:graft:"): DataFrame = {
     def esc(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
         "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
+    def iriTerm(c: org.apache.spark.sql.Column) =
+      concat(lit("<"),
+        when(c.rlike(absoluteIriPattern), c).otherwise(concat(lit(baseIri), c)),
+        lit(">"))
     val objTerm = when(col("obj").rlike(iriObjectPattern),
         concat(lit("<"), col("obj"), lit(">")))
       .otherwise(concat(lit("\""), esc(col("obj")), lit("\"")))
     df.select(concat(
-      lit("<"), col("subj"), lit("> <"), col("pred"), lit("> "),
+      iriTerm(col("subj")), lit(" "), iriTerm(col("pred")), lit(" "),
       objTerm, lit(" .")).as("line"))
   }
 }

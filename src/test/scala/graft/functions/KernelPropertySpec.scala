@@ -74,6 +74,20 @@ class KernelPropertySpec extends SparkTestBase {
     }
   }
 
+  test("ivf_cells assigns zero-magnitude vectors to cell 0, never an empty array") {
+    // every cosine is NaN for a zero vector; callers do element_at(cells, 1),
+    // which throws under ANSI mode on an empty array — the kernel must fall
+    // back to a deterministic cell
+    graft.functions.GraftFunctions.register(spark)
+    val cent = typedLit(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val rows = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(3.0f, 4.0f))).toDF("id", "v")
+    val got = rows.select($"id",
+        call_function("ivf_cells", $"v", cent, lit(1)).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(0), s"zero vector must land in cell 0, got ${got(1L)}")
+    assert(got(2L) == Seq(1))
+  }
+
   test("null vectors propagate null through all three kernels") {
     graft.functions.GraftFunctions.register(spark)
     val rows = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, Option.empty[Seq[Float]]))

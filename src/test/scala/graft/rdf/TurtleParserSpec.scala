@@ -92,6 +92,26 @@ class TurtleParserSpec extends AnyFunSuite {
     assert(back == rows.toSet, s"round-trip mismatch:\n$nt\nparsed=$back")
   }
 
+  test("N-Triples export emits only ABSOLUTE IRIs (grammar-valid IRIREF)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // bare engine ids carry no scheme — the exporter must base-prefix them,
+    // because the N-Triples grammar (unlike Turtle) forbids relative IRIs
+    val rows = Seq(
+      ("c1", Rdf.rdfType, "Customer"),
+      ("c1", "hasOrder", "o7"),
+      ("http://ex.org/s", "http://ex.org/p", "http://ex.org/o"))
+    val lines = TripleStore.toNTriples(rows.toDF("subj", "pred", "obj"))
+      .collect().map(_.getString(0))
+    val iri = "<[A-Za-z][A-Za-z0-9+.-]*:[^>]*>"
+    val lineRe = (s"^$iri $iri ($iri|\"[^\"]*\") \\.$$").r
+    lines.foreach(l => assert(lineRe.findFirstIn(l).isDefined, s"not grammar-valid N-Triples: $l"))
+    assert(lines.contains("<urn:graft:c1> <urn:graft:hasOrder> \"o7\" ."))
+    // already-absolute IRIs pass through un-prefixed
+    assert(lines.contains("<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> ."))
+    assert(lines.exists(_.contains(s"<${Rdf.rdfType}>")))
+  }
+
   test("parses the LUBM example fixture") {
     val triples = Rdf.toStringTriples(TurtleParser.parseFile("src/test/resources/lubm/LUBM.ttl"))
     assert(triples.nonEmpty)
