@@ -66,8 +66,10 @@ object ScalingBench {
         val turns = spark.read.parquet(turnsPath)
         val t0 = System.nanoTime()
         val res = graft.kg.Pipeline.run(spark, turns, kgDir, validate = true)
+        val tPipe = (System.nanoTime() - t0) / 1e9
         val triples = res.triples.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaling] local[$threads] pipeline=$tPipe%.1fs count=${sec - tPipe}%.1fs")
         val turnCount = res.counters.getOrElse("relations", 0L) + res.counters.getOrElse("types", 0L)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(kgDir))
         (triples, turnCount, sec)
@@ -79,15 +81,30 @@ object ScalingBench {
     // estimates the noise floor; reps alternate legs so a burst cannot
     // systematically favor one parallelism level.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
-    val runs = (1 to reps).map { _ => (runAt(n), runAt(4 * n)) }
+    val runs = (1 to reps).map { i =>
+      val pair = (runAt(n), runAt(4 * n))
+      // Raw per-pair series on stderr as each pair completes, so a partial
+      // run still yields usable evidence and nothing is cherry-picked.
+      val pe = (pair._1._3 / pair._2._3) / 4.0
+      System.err.println(f"[scaling] pair $i/$reps: local[$n]=${pair._1._3}%.1f s, local[${4 * n}]=${pair._2._3}%.1f s, pair_eff=$pe%.3f")
+      pair
+    }
     val (t1, _, _) = runs.head._1
     runs.flatMap(r => Seq(r._1._1, r._2._1)).foreach(t =>
       require(t == t1, s"nondeterministic output: $t vs $t1 triples"))
-    val sec1 = runs.map(_._1._3).min
-    val sec2 = runs.map(_._2._3).min
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val m = s.length / 2
+      if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2.0
+    }
+    val s1 = runs.map(_._1._3)
+    val s2 = runs.map(_._2._3)
+    val sec1 = s1.min
+    val sec2 = s2.min
     val thr1 = t1 / sec1
     val thr2 = t1 / sec2
     val eff = (thr2 / thr1) / 4.0
-    println(f"""{"convs":$convs,"triples":$t1,"reps":$reps,"local_$n%d_sec":$sec1%.1f,"local_${4 * n}%d_sec":$sec2%.1f,"thrpt_$n%d":$thr1%.1f,"thrpt_${4 * n}%d":$thr2%.1f,"scaling_efficiency":$eff%.3f}""")
+    val effMed = (median(s1) / median(s2)) / 4.0
+    val pairEffs = runs.map(r => (r._1._3 / r._2._3) / 4.0)
+    println(f"""{"convs":$convs,"triples":$t1,"reps":$reps,"local_$n%d_sec":$sec1%.1f,"local_${4 * n}%d_sec":$sec2%.1f,"thrpt_$n%d":$thr1%.1f,"thrpt_${4 * n}%d":$thr2%.1f,"scaling_efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"pair_efficiencies":[${pairEffs.map(e => f"$e%.3f").mkString(",")}],"raw_local_$n%d":[${s1.map(s => f"$s%.1f").mkString(",")}],"raw_local_${4 * n}%d":[${s2.map(s => f"$s%.1f").mkString(",")}]}""")
   }
 }

@@ -137,8 +137,12 @@ object Pipeline {
     }
 
     val validation =
-      if (validate) Some(new Validator(spark, triples, kgShapes).run())
-      else None
+      if (validate) {
+        val t0 = System.nanoTime()
+        val v = new Validator(spark, triples, kgShapes).run()
+        System.err.println(f"[stage validate] ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        Some(v)
+      } else None
 
     Result(triples, ckpt.counters, validation)
   }

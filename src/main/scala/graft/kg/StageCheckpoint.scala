@@ -24,7 +24,9 @@ final class StageCheckpoint(spark: SparkSession, baseDir: String) {
   private def dataPath(name: String) = s"$baseDir/$name.parquet"
 
   /** Row count + order-insensitive content checksum + per-partition counts —
-    * ONE pass: aggregate per partition id, derive totals on the driver. */
+    * ONE pass: aggregate per partition id, derive totals on the driver.
+    * Retained as the standalone (re-)fingerprint of an already-persisted
+    * stage; the hot path in [[stage]] rides the write instead (see there). */
   def fingerprint(df: DataFrame): StageLineage = {
     val parts = df.groupBy(spark_partition_id().as("p"))
       .agg(count(lit(1)).as("n"),
@@ -32,6 +34,24 @@ final class StageCheckpoint(spark: SparkSession, baseDir: String) {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
     StageLineage(parts.map(_._2).sum, parts.map(_._3).fold(0L)(_ ^ _),
       parts.map(p => (p._1, p._2)))
+  }
+
+  /** Per-output-file row counts from the parquet FOOTERS — pure driver-side
+    * metadata reads (a few KB per file), no data scan. Files are numbered in
+    * name order so lineage stays deterministic. At real scale (10⁴+ files)
+    * this loop is still trivial next to any data pass; parallelize it over a
+    * thread pool before it ever shows up in a profile. */
+  private def footerCounts(dir: String): Seq[(Int, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    files.zipWithIndex.map { case (f, i) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (i, r.getRecordCount) finally r.close()
+    }.toSeq
   }
 
   /** Signature of the inputs/config a stage was computed from — NOT the
@@ -56,11 +76,23 @@ final class StageCheckpoint(spark: SparkSession, baseDir: String) {
     if (!isComplete(name, params)) {
       val t0 = System.nanoTime()
       val df = compute
-      df.write.mode(SaveMode.Overwrite).parquet(dataPath(name))
+      // Lineage metrics RIDE THE WRITE (zero extra passes): count + the
+      // order-insensitive xor-of-row-hashes checksum are computed by an
+      // observe() aggregate inside the write job itself, and the
+      // per-partition counts come from the parquet FOOTERS afterwards
+      // (driver-side metadata only). The previous formulation re-read the
+      // full stage output just to fingerprint it — at 100 TB that is a
+      // second complete pass over every stage's data.
+      val obs = org.apache.spark.sql.Observation(s"graft_lineage_$name")
+      df.observe(obs,
+          count(lit(1)).as("rows"),
+          coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("checksum"))
+        .write.mode(SaveMode.Overwrite).parquet(dataPath(name))
+      val m = obs.get
+      val lin = StageLineage(m("rows").asInstanceOf[Long],
+        m("checksum").asInstanceOf[Long], footerCounts(dataPath(name)))
       val tWrite = (System.nanoTime() - t0) / 1e9
-      val persisted = spark.read.parquet(dataPath(name))
-      val lin = fingerprint(persisted)
-      System.err.println(f"[stage $name] write=${tWrite}%.1fs fingerprint=${(System.nanoTime() - t0) / 1e9 - tWrite}%.1fs rows=${lin.rows}")
+      System.err.println(f"[stage $name] write=${tWrite}%.1fs (lineage in-flight) rows=${lin.rows}")
       val json =
         s"""{"stage":"$name","params_sig":${paramsSig(params)},"rows":${lin.rows},"checksum":${lin.checksum},
            |"partitions":${lin.partitions.map { case (p, c) => s"""{"id":$p,"rows":$c}""" }.mkString("[", ",", "]")}}"""

