@@ -341,5 +341,26 @@ object GraftFunctions {
         require(children.size == 3, "winnow_fingerprints takes exactly 3 arguments")
         WinnowFingerprints(children.head, children(1), children(2))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sig takes exactly 2 arguments")
+        MinHashSig(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64 takes exactly 1 argument")
+        SimHash64(children.head)
+      })
   }
 }

@@ -75,19 +75,26 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs over character shingles:
-    * shingle → minhash signature → banded LSH buckets → bucket-local pairs →
-    * exact Jaccard verification on the candidates only.
+    * shingle-set array → minhash signature (in-row kernel) → banded LSH
+    * buckets → bucket-local pairs → exact Jaccard verification on the
+    * candidates only (in-row sorted-merge kernel).
+    *
+    * The corpus token set stays inside its row end-to-end: the only
+    * shuffles are the (4 rows/doc) band frame, the capped bucket self-join,
+    * and the candidate↔doc-set joins — O(docs + candidates) rows, never
+    * O(candidates × tokens/doc). Output is bit-identical to the r3 exploded
+    * formulation (hash parity asserted in SetSketchParitySpec).
     * @return DataFrame(a, b, jaccard) with jaccard >= threshold, a < b */
   def minHashNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 5, numHashes: Int = 16, rowsPerBand: Int = 4,
                           threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame = {
     // eager checkpoint, not lazy persist: the signature and verification
-    // branches consume the shingles concurrently in a cold run, and racing
-    // consumers duplicate the computation before a lazy cache lands
-    val sh = TextSim.charShingles(df, idCol, textCol, shingleSize).localCheckpoint(true)
-    val sig = TextSim.minHashSignatures(sh, numHashes)
+    // branches consume the shingle sets concurrently in a cold run, and
+    // racing consumers duplicate the computation before a lazy cache lands
+    val sets = TextSim.charShingleArrays(df, idCol, textCol, shingleSize).localCheckpoint(true)
+    val sig = TextSim.minHashSignaturesFromSets(sets, numHashes)
     val cand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
-    jaccardOnPairs(cand, sh).filter(col("jaccard") >= threshold)
+    TextSim.jaccardOnPairSets(cand, sets).filter(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard over shingle sets for given candidate pairs. */
@@ -108,7 +115,7 @@ object Dedup {
     * corpus text scan the word-token family (simhash, word n-grams) shares;
     * [[simHashVerifiedPairs]] checkpoints it once so its two sketch families
     * never re-read the raw text. */
-  private def wordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[graft] def wordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0).as("w"))
 
@@ -118,6 +125,14 @@ object Dedup {
           i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("token"))
       .distinct()
 
+  /** Per-doc sorted distinct word n-gram SET as one in-row array
+    * `(id, sh: array<string>)` — same grams as [[ngramsFromWords]], kept
+    * in-row so the n-gram near-dup family never shuffles the gram set. */
+  private[graft] def ngramArraysFromWords(words: DataFrame, n: Int): DataFrame =
+    words.filter(size(col("w")) >= n).select(col("id"),
+      array_sort(array_distinct(transform(sequence(lit(0), size(col("w")) - n),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("sh"))
+
   /** Exploded distinct word n-grams: (id, token). */
   def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     ngramsFromWords(wordTokens(df, idCol, textCol), n)
@@ -126,19 +141,29 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
                         threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
-    val grams = wordNgrams(df, idCol, textCol, n).localCheckpoint(true)
-    val sig = TextSim.minHashSignatures(grams, numHashes)
+    val sets = ngramArraysFromWords(wordTokens(df, idCol, textCol), n).localCheckpoint(true)
+    val sig = TextSim.minHashSignaturesFromSets(sets, numHashes)
     val cand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
-    jaccardOnPairs(cand, grams).filter(col("jaccard") >= threshold)
+    TextSim.jaccardOnPairSets(cand, sets).filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash per document: sign-sum of per-token hash bits weighted by
-    * token frequency — near-dups have small Hamming distance. Computed with
-    * an explode + 64-way conditional aggregation (no UDF). */
+    * token frequency — near-dups have small Hamming distance. Computed by the
+    * native in-row `simhash64` kernel (one pass over the word array, no
+    * explode, no shuffle); bit-identical to the exploded 64-way
+    * conditional-aggregation formulation ([[simHashFromWordsExploded]], kept
+    * as the parity reference — SetSketchParitySpec). Tokenless docs are
+    * dropped, matching the exploded groupBy. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     simHashFromWords(wordTokens(df, idCol, textCol))
 
   private def simHashFromWords(words: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(words.sparkSession)
+    words.filter(size(col("w")) > 0)
+      .select(col("id"), call_function("simhash64", col("w")).as("simhash"))
+  }
+
+  private[graft] def simHashFromWordsExploded(words: DataFrame): DataFrame = {
     val tok = words.select(col("id"), explode(col("w")).as("token"))
     val hashed = tok.withColumn("h", xxhash64(col("token")))
     val bitSums = (0 until 64).map { b =>
@@ -198,11 +223,11 @@ object Dedup {
     // same hub-bucket cap as every other blocker: a degenerate band key
     // shared by millions of docs must not go quadratic
     val simCand = TextSim.candidatePairs(bands, bucketCap)
-    val grams = ngramsFromWords(words, n).localCheckpoint(true)
-    val sig = TextSim.minHashSignatures(grams, numHashes)
+    val grams = ngramArraysFromWords(words, n).localCheckpoint(true)
+    val sig = TextSim.minHashSignaturesFromSets(grams, numHashes)
     val minCand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
     val cand = simCand.union(minCand).distinct()
-    jaccardOnPairs(cand, grams).filter(col("jaccard") >= threshold)
+    TextSim.jaccardOnPairSets(cand, grams).filter(col("jaccard") >= threshold)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold over LSH buckets

@@ -34,6 +34,50 @@ object TextSim {
       .distinct()
   }
 
+  /** Per-doc sorted distinct char-n-gram hash SET as one in-row array
+    * `(id, sh: array<long>)` — the corpus-scale sibling of [[charShingles]]:
+    * same gram positions, same xxhash64 values, but the set never explodes,
+    * so neither signatures ([[minHashSignaturesFromSets]]) nor verification
+    * ([[jaccardOnPairSets]]) shuffle the corpus token set at all. */
+  def charShingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    df.select(col(idCol).as("id"), norm.as("t"))
+      .select(col("id"),
+        array_sort(array_distinct(transform(
+          sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
+          i => xxhash64(col("t").substr(i, lit(n)))))).as("sh"))
+  }
+
+  /** MinHash signatures straight from per-doc token-set arrays via the native
+    * `minhash_sig` kernel — NO explode, NO groupBy, no shuffle (the exploded
+    * [[minHashSignatures]] aggregates the full corpus token set). Output
+    * schema matches it exactly (`id, h0..h{k-1}`, bit-identical values), so
+    * [[lshBands]] composes unchanged. */
+  def minHashSignaturesFromSets(sets: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(sets.sparkSession)
+    sets.select(col("id"), call_function("minhash_sig", col("sh"), lit(k)).as("s"))
+      .select(col("id") +: (0 until k).map(i => element_at(col("s"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** Exact Jaccard for candidate pairs over per-doc SORTED token-set arrays:
+    * candidates join ONE row per doc (small side broadcast-able by AQE) and
+    * the intersection is counted in-row by the native sorted-merge kernel.
+    * Rows through the shuffle: O(docs + candidates) — the exploded
+    * formulation ([[graft.ops.Dedup.jaccardOnPairs]]) streamed
+    * O(candidates × tokens/doc) rows through a (b, token) join, the measured
+    * super-linear point of the 10× corpus series. Zero-intersection pairs
+    * come out with jaccard 0.0 (the exploded inner join dropped them);
+    * callers filter on a positive threshold either way. */
+  def jaccardOnPairSets(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sets.sparkSession)
+    pairs
+      .join(sets.select(col("id").as("a"), col("sh").as("ta")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("sh").as("tb")), Seq("b"))
+      .withColumn("both", call_function("sorted_intersect_count", col("ta"), col("tb")))
+      .select(col("a"), col("b"),
+        (col("both") / (size(col("ta")) + size(col("tb")) - col("both"))).as("jaccard"))
+  }
+
   /** MinHash signature per id from an exploded (id, token) frame:
     * k independent hash functions h_i(t) = xxhash64(t, seed_i); the signature
     * is the per-id minimum of each — one aggregation, fully codegen'd. */

@@ -330,4 +330,19 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
       "hot path must not contain UDFs")
   }
+
+  test("set-sketch near-dup: MinHash signature stage is shuffle-free") {
+    // the r3 formulation aggregated the full exploded corpus token set
+    // (groupBy(id) over ~one row per shingle); the in-row minhash_sig kernel
+    // computes signatures inside the scan projection — scan → project,
+    // NO Exchange anywhere before LSH banding
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sets = graft.ops.TextSim.charShingleArrays(docs, "doc_id", "text", 5)
+    val sig = graft.ops.TextSim.minHashSignaturesFromSets(sets, 16)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"signature stage must not shuffle the corpus token set:\n${plan.take(800)}")
+    assert(!plan.contains("Generate"),
+      s"signature stage must not explode the token set:\n${plan.take(800)}")
+  }
 }
