@@ -125,13 +125,30 @@ object Dedup {
           i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("token"))
       .distinct()
 
-  /** Per-doc sorted distinct word n-gram SET as one in-row array
-    * `(id, sh: array<string>)` — same grams as [[ngramsFromWords]], kept
-    * in-row so the n-gram near-dup family never shuffles the gram set. */
-  private[graft] def ngramArraysFromWords(words: DataFrame, n: Int): DataFrame =
-    words.filter(size(col("w")) >= n).select(col("id"),
-      array_sort(array_distinct(transform(sequence(lit(0), size(col("w")) - n),
-        i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("sh"))
+  /** Per-doc sorted distinct word n-gram SET as one in-row array — same
+    * grams as [[ngramsFromWords]], kept in-row so the n-gram near-dup family
+    * never shuffles the gram set.
+    *
+    * `hashed = true` (the corpus-scale default) stores each gram as its
+    * xxhash64 long — `(id, sh: array<long>)`, 8 bytes/gram instead of a
+    * ~20-30 byte string through two checkpoints and the verification joins,
+    * and the downstream minhash kernel hashes 8-byte longs instead of long
+    * strings. Set SIZES (and therefore exact-Jaccard values) are preserved
+    * absent 64-bit collisions within one document's gram set (~g²/2⁶⁵ —
+    * the same already-accepted semantics as the char-shingle family, which
+    * hashes shingles to longs immediately). Candidate SETS differ from the
+    * string formulation (different minhash values), covered by the corpus
+    * recall margin (DedupRecallSpec guards it in-repo); exact-Jaccard
+    * values are parity-tested in SetSketchParitySpec.
+    * `hashed = false` keeps `(id, sh: array<string>)` for parity tests. */
+  private[graft] def ngramArraysFromWords(words: DataFrame, n: Int,
+                                          hashed: Boolean = true): DataFrame = {
+    val grams = transform(sequence(lit(0), size(col("w")) - n),
+      i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))
+    val set = if (hashed) transform(grams, g => xxhash64(g)) else grams
+    words.filter(size(col("w")) >= n)
+      .select(col("id"), array_sort(array_distinct(set)).as("sh"))
+  }
 
   /** Exploded distinct word n-grams: (id, token). */
   def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

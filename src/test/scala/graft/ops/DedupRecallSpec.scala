@@ -40,4 +40,40 @@ class DedupRecallSpec extends SparkTestBase {
       s"LSH candidates miss ${missed.size} exact pairs (corpus recall assumption broken): " +
         missed.take(10).mkString(", "))
   }
+
+  test("hashed-gram minhash candidates cover every exact >=0.5 word-3-gram pair") {
+    // guards q_dedup_ngram_pairs / q_dedup_simhash_pairs after the
+    // hashed-gram switch: grams are stored as xxhash64 longs, so the minhash
+    // values (and hence the LSH candidate set) differ from the string
+    // formulation — full recall on the oracle corpus must still hold at the
+    // driver's 8-bands-of-2 parameters (j ≥ 0.9 ⇒ miss prob (1-j²)⁸ < 2e-6)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val words = Dedup.wordTokens(docs, "doc_id", "text")
+    val sets = Dedup.ngramArraysFromWords(words, 3).localCheckpoint(true)
+    val sig = TextSim.minHashSignaturesFromSets(sets, 16)
+    val cand = TextSim.candidatePairs(TextSim.lshBands(sig, 16, rowsPerBand = 2), 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact ≥0.5 ground truth over the STRING gram sets (the oracle's world)
+    val strSets: Map[Long, Set[String]] =
+      Dedup.ngramArraysFromWords(words, 3, hashed = false).collect()
+        .groupBy(_.getLong(0)).map { case (id, rows) =>
+          id -> rows.flatMap(_.getSeq[String](1)).toSet
+        }
+    val ids = strSets.keys.toArray.sorted
+    val exact = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (strSets(a) & strSets(b)).size
+      if inter > 0
+      jac = inter.toDouble / (strSets(a).size + strSets(b).size - inter)
+      if jac >= 0.5
+    } yield (a, b)).toSet
+
+    assert(exact.nonEmpty, "vacuous corpus: no exact n-gram near-dup pairs at all")
+    val missed = exact -- cand
+    assert(missed.isEmpty,
+      s"hashed-gram LSH candidates miss ${missed.size} exact pairs: " +
+        missed.take(10).mkString(", "))
+  }
 }

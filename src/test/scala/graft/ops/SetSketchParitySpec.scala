@@ -45,8 +45,28 @@ class SetSketchParitySpec extends SparkTestBase {
   test("minhash_sig over word-ngram arrays == exploded minHashSignatures (string tokens)") {
     val words = Dedup.wordTokens(docs, "doc_id", "text")
     val exploded = TextSim.minHashSignatures(Dedup.wordNgrams(docs, "doc_id", "text", 3), 16)
-    val inRow = TextSim.minHashSignaturesFromSets(Dedup.ngramArraysFromWords(words, 3), 16)
+    val inRow = TextSim.minHashSignaturesFromSets(
+      Dedup.ngramArraysFromWords(words, 3, hashed = false), 16)
     assert(exploded.except(inRow).isEmpty && inRow.except(exploded).isEmpty)
+  }
+
+  test("hashed gram sets preserve exact-Jaccard values (long vs string grams)") {
+    // hashed = true stores xxhash64(gram) longs — candidate sets may differ
+    // (different minhash values; recall guarded by DedupRecallSpec) but the
+    // exact-Jaccard VALUE on any given pair must be identical, because set
+    // sizes and intersections survive a collision-free hash
+    val words = Dedup.wordTokens(docs, "doc_id", "text")
+    val strSets = Dedup.ngramArraysFromWords(words, 3, hashed = false)
+    val hashSets = Dedup.ngramArraysFromWords(words, 3, hashed = true)
+    val ids = strSets.select(col("id"))
+    val allPairs = ids.select(col("id").as("a"))
+      .crossJoin(ids.select(col("id").as("b"))).filter(col("a") < col("b"))
+    val s = TextSim.jaccardOnPairSets(allPairs, strSets)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val h = TextSim.jaccardOnPairSets(allPairs, hashSets)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(s.keySet == h.keySet)
+    s.foreach { case (k, v) => assert(h(k) == v, s"pair $k: ${h(k)} != $v") }
   }
 
   test("jaccardOnPairSets == exploded jaccardOnPairs on the all-pairs set") {
