@@ -127,7 +127,14 @@ object TextSim {
   }
 
   /** Cosine similarity for the given candidate pairs over TF-IDF weights:
-    * dot products via a token-level join, norms via per-id aggregation. */
+    * dot products via a token-level join, norms via per-id aggregation.
+    *
+    * Deliberately stays in the exploded (id, token, w) shape, unlike the
+    * near-dup family's in-row set arrays: TF-IDF requires a token-level
+    * document-frequency aggregation anyway (the exploded frame must exist),
+    * and linking surfaces are a few words each — the candidate×token join
+    * fans out ~3-5 rows per candidate, not the hundreds-per-doc that made
+    * the shingle families' exploded verification super-linear. */
   def cosineOnPairs(pairs: DataFrame, weights: DataFrame): DataFrame = {
     val norms = weights.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     val dots = pairs

@@ -101,4 +101,100 @@ class KernelPropertySpec extends SparkTestBase {
     assert(!out(1L).isNullAt(1) && !out(1L).isNullAt(2) && !out(1L).isNullAt(3))
     assert(out(2L).isNullAt(1) && out(2L).isNullAt(2) && out(2L).isNullAt(3))
   }
+
+  // ---- set-sketch kernels (minhash_sig, sorted_intersect_count, simhash64) ----
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def refMinHashLong(arr: Seq[Long], k: Int): Seq[Long] =
+    (0 until k).map { i =>
+      if (arr.isEmpty) Long.MaxValue
+      else arr.map(t => XXH64.hashInt(i, XXH64.hashLong(t, 42L))).min
+    }
+
+  private def refMinHashStr(arr: Seq[String], k: Int): Seq[Long] =
+    (0 until k).map { i =>
+      if (arr.isEmpty) Long.MaxValue
+      else arr.map(t => XXH64.hashInt(i, XXH64.hashUTF8String(UTF8String.fromString(t), 42L))).min
+    }
+
+  test("minhash_sig matches the XXH64 reference fold on random long and string sets") {
+    graft.functions.GraftFunctions.register(spark)
+    for (seed <- Seq(2L, 13L, 59L)) {
+      val rnd = new Random(seed)
+      val k = 1 + rnd.nextInt(24)
+      val longRows = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(30))(rnd.nextLong()).distinct)
+      }
+      val gotL = longRows.toDF("id", "sh")
+        .select($"id", call_function("minhash_sig", $"sh", lit(k)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      longRows.foreach { case (id, arr) =>
+        assert(gotL(id) == refMinHashLong(arr, k), s"seed=$seed k=$k id=$id (long)")
+      }
+      val strRows = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(20))(rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString).distinct)
+      }
+      val gotS = strRows.toDF("id", "sh")
+        .select($"id", call_function("minhash_sig", $"sh", lit(k)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      strRows.foreach { case (id, arr) =>
+        assert(gotS(id) == refMinHashStr(arr, k), s"seed=$seed k=$k id=$id (string)")
+      }
+    }
+  }
+
+  test("sorted_intersect_count matches set intersection on random sorted sets") {
+    graft.functions.GraftFunctions.register(spark)
+    for (seed <- Seq(4L, 17L, 83L)) {
+      val rnd = new Random(seed)
+      // draw from a small value domain so intersections are non-trivial;
+      // include empty and disjoint sets
+      val longRows = (0 until 60).map { i =>
+        val a = Seq.fill(rnd.nextInt(25))(rnd.nextInt(40).toLong).distinct.sorted
+        val b = Seq.fill(rnd.nextInt(25))(rnd.nextInt(40).toLong).distinct.sorted
+        (i.toLong, a, b, (a.toSet & b.toSet).size.toLong)
+      }
+      val gotL = longRows.map(t => (t._1, t._2, t._3)).toDF("id", "a", "b")
+        .select($"id", call_function("sorted_intersect_count", $"a", $"b").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      longRows.foreach { case (id, _, _, exp) => assert(gotL(id) == exp, s"seed=$seed id=$id (long)") }
+      val strRows = (0 until 60).map { i =>
+        val dom = Vector("aa", "ab", "b", "ba", "c", "cc", "d", "e", "f", "g0", "g1", "zz")
+        val a = Seq.fill(rnd.nextInt(12))(dom(rnd.nextInt(dom.size))).distinct.sorted
+        val b = Seq.fill(rnd.nextInt(12))(dom(rnd.nextInt(dom.size))).distinct.sorted
+        (i.toLong, a, b, (a.toSet & b.toSet).size.toLong)
+      }
+      val gotS = strRows.map(t => (t._1, t._2, t._3)).toDF("id", "a", "b")
+        .select($"id", call_function("sorted_intersect_count", $"a", $"b").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      strRows.foreach { case (id, _, _, exp) => assert(gotS(id) == exp, s"seed=$seed id=$id (string)") }
+    }
+  }
+
+  test("simhash64 matches the sign-sum reference on random token multisets") {
+    graft.functions.GraftFunctions.register(spark)
+    def ref(tokens: Seq[String]): Long = {
+      val cnt = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (cnt(b) > 0) acc | (1L << b) else acc)
+    }
+    for (seed <- Seq(6L, 29L, 101L)) {
+      val rnd = new Random(seed)
+      // duplicates on purpose — simhash weighs the multiset, and an even
+      // count of a token can tie a bit vote (cnt == 0 → bit clear)
+      val rows = (0 until 50).map { i =>
+        val vocab = Vector("x", "yy", "zzz", "w", "vv", "u")
+        (i.toLong, Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val got = rows.toDF("id", "w")
+        .select($"id", call_function("simhash64", $"w").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (id, toks) => assert(got(id) == ref(toks), s"seed=$seed id=$id") }
+    }
+  }
 }
