@@ -92,6 +92,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * plan O(1) in nCentroids: 10⁴ cells × 768 dims is one reference object of
   * ~60 MB shipped with the task binary, not 10⁷ Catalyst literal nodes. Cost
   * per row is one fused O(k·dim) loop. */
+/* Shipping cost of the matrix: the kernel rides the serialized task
+ * closure, which Spark itself broadcasts ONCE per stage (DAGScheduler's
+ * taskBinary is a Broadcast) — each executor fetches the 10⁴×768 ≈ 60 MB
+ * matrix once per stage, not once per task, so a separate user-level
+ * broadcast variable would not reduce bytes moved. */
 final class CentroidKernel(mat: Array[Array[Double]], probes: Int, vecIsFloat: Boolean)
     extends Serializable {
   private val norms: Array[Double] = mat.map { r =>
