@@ -402,6 +402,21 @@ object SparkEntry {
         .select(col("media_id"), col("media_type"), col("width"), col("height"), col("n_frames"))
     }),
 
+    // REAL pixel/sample decode end-to-end (no external codec: PNG = JDK
+    // zlib inflate + all-five-filter unfiltering, WAV = PCM16 parsing):
+    // synthesizeDecodable emits COMPLETE real PNGs / PCM WAVs, decodePixels
+    // actually decompresses them, and the oracle recomputes every decoded
+    // value — dims, frame counts, exact pixel-mean brightness and sample
+    // amplitude — from md5 arithmetic. The hash can only match if the
+    // decode path reconstructs the pixels/samples correctly.
+    "q_multimodal_pixels" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.synthesizeDecodable(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.decodePixels(s, media.as[Multimodal.MediaRow]).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("n_frames"), round(col("brightness"), 6).as("brightness"))
+    }),
+
     "q_kg_pipeline" -> ((s, d) => {
       // deterministic micro-corpus; d is unused by design (pure generator).
       // Emits precision/recall of the constructed triples against the
@@ -711,6 +726,31 @@ object SparkEntry {
                             WHEN 1 THEN blen // ((1 + h6 % 2) * 2)
                             ELSE 1 + h78 % 300 END AS INT) AS n_frames
          FROM c""",
+
+    "q_multimodal_pixels" ->
+      """WITH p AS (SELECT doc_id AS media_id, md5(text) AS m FROM documents),
+         c AS (SELECT media_id,
+                      ord(substr(m,10,1)) % 2 AS t2,
+                      ord(substr(m,11,1)) AS oA, ord(substr(m,12,1)) AS oB,
+                      ord(substr(m,13,1)) AS oC, ord(substr(m,14,1)) AS oD,
+                      ord(substr(m,15,1)) AS oE, ord(substr(m,16,1)) AS oF,
+                      ord(substr(m,17,1)) AS oG
+               FROM p),
+         s AS (SELECT media_id, t2, oA, oB, oC, oD, oE, oF, oG,
+                      ((oE*256 + oF) * 7) % 65536 AS x
+               FROM c)
+         SELECT media_id,
+                CASE t2 WHEN 0 THEN 'image' ELSE 'audio' END AS media_type,
+                CAST(CASE t2 WHEN 0 THEN 8 + (oA*256 + oB) % 56
+                             ELSE 8000 + (oA % 8) * 4000 END AS INT) AS width,
+                CAST(CASE t2 WHEN 0 THEN 8 + (oC*256 + oD) % 56
+                             ELSE 1 + oB % 2 END AS INT) AS height,
+                CAST(CASE t2 WHEN 0 THEN 1
+                             ELSE 64 + (oC*256 + oD) % 2000 END AS INT) AS n_frames,
+                ROUND(CASE t2 WHEN 0 THEN ((oE*7) % 256 + (oF*11) % 256 + (oG*13) % 256) / (3*255.0)
+                             ELSE ABS(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) / 32768.0 END,
+                      6) AS brightness
+         FROM s""",
 
     "q_ann_bruteforce_topk" ->
       """SELECT e.vec_id AS id

@@ -19,10 +19,18 @@ import org.apache.spark.sql.functions._
   * arithmetic so an independent DuckDB oracle can recompute the expected
   * decode output (`q_multimodal_decode`).
   *
-  * What remains STUBBED (this environment ships no image/audio codecs):
-  * pixel/sample DECOMPRESSION — [[decodeStub]] derives deterministic
-  * pseudo-features where a real deployment would run the codec; it is the
-  * single marked swap point.
+  * Pixel/sample decode is REAL for image and audio as of round 4 —
+  * neither needs an external codec: PNG decompression is JDK zlib
+  * ([[decodePng]]: chunk walk with CRC verification, `Inflater`, all five
+  * scanline filters undone) and WAV PCM16 is little-endian int16 parsing
+  * ([[decodeWavPcm]]); [[synthesizeDecodable]] emits COMPLETE real PNGs /
+  * PCM WAVs so `q_multimodal_pixels` holds the decode to a DuckDB
+  * md5-arithmetic oracle, and MultimodalPixelSpec cross-validates the PNG
+  * path pixel-exactly against javax.imageio on random images.
+  *
+  * What remains STUBBED: VIDEO frame decompression (a real video codec
+  * does not exist in this environment) — [[decodeStub]] derives
+  * deterministic pseudo-features there; it is the single marked swap point.
   */
 object Multimodal {
 
@@ -226,6 +234,277 @@ object Multimodal {
         val brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / (bytes.length * 255.0)
         // --- end stub ---
         MediaFeatures(r.media_id, r.media_type, bytes.length, h, width, height, frames, brightness)
+      }
+    }
+  }
+
+  // ---- REAL pixel/sample decode (round 4) ---------------------------------
+  // No external codecs needed for these two: PNG "decompression" is zlib
+  // (java.util.zip.Inflater, part of the JDK) plus per-scanline unfiltering,
+  // and WAV PCM16 is plain little-endian int16 parsing. Only VIDEO frame
+  // decode still requires a real codec and remains behind [[decodeStub]].
+
+  /** Deterministic pixel-level parameters from md5(text) — positions 10-17
+    * of the hex digest (1-indexed SQL substr), so the DuckDB oracle can
+    * recompute every decoded value:
+    * (kind 0=image 1=audio, w, h, r, g, b, rate, ch, nFrames, sampleVal). */
+  private[ops] def pixelParamsFor(text: String): (Int, Int, Int, Int, Int, Int, Int, Int, Int, Int) = {
+    val m = md5Hex(text)
+    def o(i: Int): Int = m.charAt(i).toInt
+    val kind = o(9) % 2
+    val w = 8 + (o(10) * 256 + o(11)) % 56
+    val h = 8 + (o(12) * 256 + o(13)) % 56
+    val r = (o(14) * 7) % 256
+    val g = (o(15) * 11) % 256
+    val b = (o(16) * 13) % 256
+    val rate = 8000 + (o(10) % 8) * 4000
+    val ch = 1 + o(11) % 2
+    val nFrames = 64 + (o(12) * 256 + o(13)) % 2000
+    val x = ((o(14) * 256 + o(15)) * 7) % 65536
+    val v = if (x >= 32768) x - 65536 else x
+    (kind, w, h, r, g, b, rate, ch, nFrames, v)
+  }
+
+  private def crcChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A COMPLETE spec-valid 8-bit RGB PNG (signature, IHDR, one zlib IDAT,
+    * IEND — all CRCs real) of a constant-color image, with the scanline
+    * filter type rotating y % 5 so every PNG filter (None/Sub/Up/Average/
+    * Paeth) appears in the stream and must be undone by the decoder.
+    * Round-trips through javax.imageio (asserted in MultimodalPixelSpec). */
+  private[ops] def pngFull(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](stride) // one constant scanline, reused
+    var x = 0
+    while (x < w) {
+      raw(x * 3) = r.toByte; raw(x * 3 + 1) = g.toByte; raw(x * 3 + 2) = b.toByte
+      x += 1
+    }
+    val filtered = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      val base = y * (1 + stride)
+      filtered(base) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(i) & 0xff
+        val left = if (i >= bpp) raw(i - bpp) & 0xff else 0
+        val up = if (y > 0) raw(i) & 0xff else 0 // constant image: prior == raw
+        val ul = if (y > 0 && i >= bpp) raw(i - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        filtered(base + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val buf = new Array[Byte](filtered.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    sig ++ crcChunk("IHDR", ihdr) ++ crcChunk("IDAT", bos.toByteArray) ++
+      crcChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** A real PCM16 WAV: canonical header + `nFrames` frames of `ch` channels,
+    * every sample the constant int16 `v` (little-endian). */
+  private[ops] def wavPcm(rate: Int, ch: Int, nFrames: Int, v: Int): Array[Byte] = {
+    val body = new Array[Byte](nFrames * ch * 2)
+    var i = 0
+    while (i < body.length) {
+      body(i) = (v & 0xff).toByte; body(i + 1) = ((v >> 8) & 0xff).toByte
+      i += 2
+    }
+    wavContainer(rate, ch, body)
+  }
+
+  /** Payloads whose pixel/sample content is FULLY decodable in this
+    * environment: complete real PNGs (image) and PCM16 WAVs (audio),
+    * parameters from [[pixelParamsFor]]. */
+  def synthesizeDecodable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (kind, w, h, r, g, b, rate, ch, nFrames, v) = pixelParamsFor(text)
+        if (kind == 0) MediaRow(id, "image", pngFull(w, h, r, g, b))
+        else MediaRow(id, "audio", wavPcm(rate, ch, nFrames, v))
+      }.toDF()
+  }
+
+  /** Full PNG pixel decode — chunk walk with CRC verification, zlib inflate
+    * of the concatenated IDAT stream, per-scanline unfiltering (all five
+    * PNG filter types) — for 8-bit gray/RGB/RGBA. Returns
+    * (width, height, brightness = mean color-channel byte / 255, alpha
+    * excluded); None on anything structurally invalid (bad magic, CRC
+    * mismatch, truncated stream, unsupported depth/type). */
+  private[ops] def decodePng(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
+    if (bytes.length < 8 || (bytes(0) & 0xff) != 0x89 || ascii(bytes, 1, 3) != "PNG")
+      return None
+    var off = 8
+    var w = 0; var h = 0; var channels = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && off + 12 <= bytes.length) {
+      val len = u32be(bytes, off)
+      if (len < 0 || off + 12 + len > bytes.length) return None
+      val typ = ascii(bytes, off + 4, 4)
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, off + 4, 4 + len)
+      if (crc.getValue.toInt != u32be(bytes, off + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = u32be(bytes, off + 8); h = u32be(bytes, off + 12)
+          val depth = bytes(off + 16) & 0xff; val colorType = bytes(off + 17) & 0xff
+          if (depth != 8) return None
+          channels = colorType match {
+            case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+          }
+          if ((bytes(off + 18) | bytes(off + 19) | bytes(off + 20)) != 0) return None // no interlace
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunk — skip
+      }
+      off += 12 + len
+    }
+    if (!sawEnd || w <= 0 || h <= 0 || channels == 0) return None
+    val bpp = channels
+    val stride = w * bpp
+    val out = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var filled = 0
+    try {
+      while (filled < out.length && !inflater.finished()) {
+        val n = inflater.inflate(out, filled, out.length - filled)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        filled += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None } finally inflater.end()
+    if (filled != out.length) return None
+    // unfilter in place: recon rows are packed back over the filtered bytes
+    val recon = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = out(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      val src = y * (1 + stride) + 1
+      val dst = y * stride
+      var i = 0
+      while (i < stride) {
+        val f = out(src + i) & 0xff
+        val left = if (i >= bpp) recon(dst + i - bpp) & 0xff else 0
+        val up = if (y > 0) recon(dst - stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) recon(dst - stride + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case _ => f + paeth(left, up, ul)
+        }
+        recon(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    var sum = 0L; var cnt = 0L
+    var i = 0
+    while (i < recon.length) {
+      if (channels != 4 || (i % 4) != 3) { sum += (recon(i) & 0xff); cnt += 1 }
+      i += 1
+    }
+    Some((w, h, sum.toDouble / (cnt * 255.0)))
+  }
+
+  /** Real PCM16 WAV sample decode: same guarded RIFF walk as
+    * [[decodeHeaders]], then the data chunk parsed as little-endian int16;
+    * returns (sampleRate, channels, frames, mean |sample| / 32768). None if
+    * not PCM16 or no decodable data chunk. */
+  private[ops] def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (b.length < 44 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE") return None
+    var off = 12
+    var rate = 0; var ch = 0; var blockAlign = 0; var fmtCode = 0; var bits = 0
+    var dataOff = -1; var dataSize = 0
+    var malformed = false
+    while (!malformed && off + 8 <= b.length) {
+      val id = ascii(b, off, 4); val sz = u32le(b, off + 4)
+      if (id == "fmt " && off + 24 <= b.length) {
+        fmtCode = u16le(b, off + 8); ch = u16le(b, off + 10)
+        rate = u32le(b, off + 12); blockAlign = u16le(b, off + 20)
+        bits = u16le(b, off + 22)
+      } else if (id == "data" && sz >= 0 && off + 8 + sz <= b.length) {
+        dataOff = off + 8; dataSize = sz
+      }
+      if (sz < 0 || sz > b.length) malformed = true else off += 8 + sz + (sz & 1)
+    }
+    if (fmtCode != 1 || bits != 16 || ch <= 0 || blockAlign <= 0 || dataOff < 0) return None
+    val nSamples = dataSize / 2
+    var sum = 0L; var i = 0
+    while (i < nSamples) {
+      val s = (u16le(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      sum += math.abs(s)
+      i += 1
+    }
+    val amp = if (nSamples == 0) 0.0 else sum.toDouble / (nSamples.toLong * 32768.0)
+    Some((rate, ch, dataSize / blockAlign, amp))
+  }
+
+  /** REAL pixel/sample decode, partition-wise: PNG → zlib inflate +
+    * unfilter + true pixel-mean brightness; WAV PCM16 → int16 samples +
+    * true mean amplitude (field mapping as [[decodeHeaders]]: audio width =
+    * sampleRate, height = channels, n_frames = frames, brightness = mean
+    * |sample|/32768). Anything else — including structurally corrupt blobs
+    * — falls back to "unknown" pseudo-features rather than failing the
+    * task. Video pixel decode still needs an actual codec ([[decodeStub]]).
+    * Cross-validated against javax.imageio in MultimodalPixelSpec. */
+  def decodePixels(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        def checksum: Long = {
+          var h = 1125899906842597L; var i = 0
+          while (i < b.length) { h = 31 * h + b(i); i += 1 }
+          h
+        }
+        decodePng(b) match {
+          case Some((w, h, bright)) =>
+            MediaFeatures(r.media_id, "image", b.length, checksum, w, h, 1, bright)
+          case None => decodeWavPcm(b) match {
+            case Some((rate, ch, frames, amp)) =>
+              MediaFeatures(r.media_id, "audio", b.length, checksum, rate, ch, frames, amp)
+            case None =>
+              var hh = 1125899906842597L; var i = 0; var sum = 0L
+              while (i < b.length) { hh = 31 * hh + b(i); sum += (b(i) & 0xff); i += 1 }
+              MediaFeatures(r.media_id, "unknown", b.length, hh,
+                16 + (math.abs(hh) % 1024).toInt, 16 + (math.abs(hh >> 10) % 1024).toInt, 1,
+                if (b.isEmpty) 0.0 else sum.toDouble / (b.length * 255.0))
+          }
+        }
       }
     }
   }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import scala.util.Random
+
+/** The real pixel/sample decode path (Multimodal.decodePng / decodeWavPcm /
+  * decodePixels), cross-validated against an INDEPENDENT decoder: the JDK's
+  * own javax.imageio PNG codec. Random-pixel images exercise whatever filter
+  * choices ImageIO's encoder makes; graft's own encoder (pngFull) rotates
+  * through all five PNG filter types and must round-trip through BOTH
+  * decoders. */
+class MultimodalPixelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def brightnessOf(img: BufferedImage): Double = {
+    var sum = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    sum.toDouble / (img.getWidth.toLong * img.getHeight * 3 * 255.0)
+  }
+
+  test("decodePng matches javax.imageio pixel-exactly on random-pixel PNGs") {
+    for (seed <- Seq(9L, 41L, 137L)) {
+      val rnd = new Random(seed)
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      val got = Multimodal.decodePng(bos.toByteArray)
+      assert(got.isDefined, s"seed=$seed: decodePng rejected an ImageIO-encoded PNG")
+      val (gw, gh, gb) = got.get
+      assert(gw == w && gh == h, s"seed=$seed: $gw x $gh != $w x $h")
+      assert(gb == brightnessOf(img), s"seed=$seed: brightness $gb != ${brightnessOf(img)}")
+    }
+  }
+
+  test("pngFull round-trips through BOTH decoders (all five filter types in-stream)") {
+    // heights >= 5 guarantee the y % 5 rotation emits every filter type
+    for ((w, h, r, g, b) <- Seq((17, 9, 200, 5, 77), (8, 8, 0, 0, 0), (63, 6, 255, 255, 255))) {
+      val bytes = Multimodal.pngFull(w, h, r, g, b)
+      val own = Multimodal.decodePng(bytes)
+      assert(own.contains((w, h, (w.toLong * h * (r + g + b)).toDouble / (w.toLong * h * 3 * 255.0))))
+      val iio = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(iio != null, "javax.imageio rejected a pngFull image")
+      assert(iio.getWidth == w && iio.getHeight == h)
+      assert((iio.getRGB(w - 1, h - 1) & 0xFFFFFF) == ((r << 16) | (g << 8) | b))
+    }
+  }
+
+  test("decodeWavPcm recovers rate/channels/frames and exact mean amplitude") {
+    val bytes = Multimodal.wavPcm(16000, 2, 100, -1234)
+    assert(Multimodal.decodeWavPcm(bytes).contains((16000, 2, 100, 1234.0 / 32768.0)))
+    // positive sample, mono
+    assert(Multimodal.decodeWavPcm(Multimodal.wavPcm(8000, 1, 64, 32767))
+      .contains((8000, 1, 64, 32767.0 / 32768.0)))
+  }
+
+  test("corrupt payloads fall back instead of crashing") {
+    val png = Multimodal.pngFull(10, 10, 1, 2, 3)
+    val flipped = png.clone(); flipped(40) = (flipped(40) ^ 0x55).toByte // damage IDAT → CRC fails
+    assert(Multimodal.decodePng(flipped).isEmpty)
+    assert(Multimodal.decodePng(png.take(30)).isEmpty) // truncated
+    val wav = Multimodal.wavPcm(8000, 1, 10, 5)
+    val badFmt = wav.clone(); badFmt(20) = 9 // compression code != PCM
+    assert(Multimodal.decodeWavPcm(badFmt).isEmpty)
+    // and through the Spark surface: unknowns come back typed, no task failure
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", flipped),
+      Multimodal.MediaRow(2L, "audio", wav),
+      Multimodal.MediaRow(3L, "junk", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.decodePixels(spark, media).collect().map(f => f.media_id -> f.media_type).toMap
+    assert(out == Map(1L -> "unknown", 2L -> "audio", 3L -> "unknown"))
+  }
+
+  test("synthesizeDecodable → decodePixels: every field matches pixelParamsFor") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.synthesizeDecodable(docs, "doc_id", "text")
+    val got = Multimodal.decodePixels(spark, media.as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f).toMap
+    val texts = docs.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val (kind, w, h, r, g, b, rate, ch, nFrames, v) = Multimodal.pixelParamsFor(text)
+      val f = got(id)
+      if (kind == 0) {
+        assert(f.media_type == "image" && f.width == w && f.height == h && f.n_frames == 1)
+        assert(f.brightness == (w.toLong * h * (r + g + b)).toDouble / (w.toLong * h * 3 * 255.0))
+      } else {
+        assert(f.media_type == "audio" && f.width == rate && f.height == ch && f.n_frames == nFrames)
+        assert(f.brightness == math.abs(v).toDouble / 32768.0)
+      }
+    }
+  }
+}
