@@ -215,9 +215,11 @@ object Multimodal {
 
   /** Partition-wise batch decode — one iterator pass per partition, constant
     * memory, no per-row JVM↔driver traffic. The body of the loop is the
-    * ONLY remaining stub: it computes deterministic pseudo-features from the
-    * bytes where a real implementation would invoke the pixel/sample codec
-    * (container METADATA is already real — see [[decodeHeaders]]). */
+    * ONLY remaining stub, and as of round 4 it stands in for VIDEO frame
+    * decompression alone: container metadata decode is real
+    * ([[decodeHeaders]]) and image/audio pixel/sample decode is real
+    * ([[decodePixels]]); a deployment with an actual video codec (ffmpeg
+    * et al.) swaps it in here. */
   def decodeStub(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
