@@ -358,7 +358,9 @@ object Multimodal {
 
   /** Full PNG pixel decode — chunk walk with CRC verification, zlib inflate
     * of the concatenated IDAT stream, per-scanline unfiltering (all five
-    * PNG filter types) — for 8-bit gray/RGB/RGBA. Returns
+    * PNG filter types and the Paeth predictor per the W3C PNG spec §9
+    * "Filtering", implemented from the spec's definitions) — for 8-bit
+    * gray/RGB/RGBA. Returns
     * (width, height, brightness = mean color-channel byte / 255, alpha
     * excluded); None on anything structurally invalid (bad magic, CRC
     * mismatch, truncated stream, unsupported depth/type). */
