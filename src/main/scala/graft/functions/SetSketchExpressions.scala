@@ -33,35 +33,47 @@ final class MinHashSigKernel(k: Int, isString: Boolean) extends Serializable {
   /** Per-seed minima of xxhash64(elem, seed i) over the array: exactly
     * `min(xxhash64(token, lit(i)))` per doc — Spark folds that two-child
     * hash as hashInt(i, hash*(token, 42)). One base hash per element, k
-    * cheap integer finalizers. */
+    * cheap integer finalizers. Null elements are skipped (a null token
+    * contributes nothing to the set, matching the exploded formulation
+    * where `min` ignores null hashes); an array with NO non-null elements
+    * returns null (the exploded groupBy drops tokenless docs entirely). */
   def sig(arr: ArrayData): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
+    var seen = false
     var i = 0
     while (i < n) {
-      val base =
-        if (isString) XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
-        else XXH64.hashLong(arr.getLong(i), 42L)
-      var j = 0
-      while (j < k) {
-        val v = XXH64.hashInt(j, base)
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val base =
+          if (isString) XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+          else XXH64.hashLong(arr.getLong(i), 42L)
+        var j = 0
+        while (j < k) {
+          val v = XXH64.hashInt(j, base)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!seen) null else new GenericArrayData(mins)
   }
 }
 
 /** `minhash_sig(tokens, k)` — the k-slot MinHash signature of a token array
   * (`array<long>` or `array<string>`) as `array<long>`, bit-identical to
   * `min(xxhash64(token, lit(i)))` over the exploded frame. `k` must be a
-  * foldable int ≥ 1. */
+  * foldable int ≥ 1. An EMPTY array (or one holding only nulls) yields a
+  * NULL signature — matching the exploded formulation, where tokenless
+  * docs simply vanish from the groupBy — rather than a k×Long.MaxValue
+  * sentinel that would collide every tokenless doc into one LSH bucket. */
 case class MinHashSig(arr: Expression, k: Expression) extends BinaryExpression {
 
   override def left: Expression = arr
   override def right: Expression = k
+
+  override def nullable: Boolean = true
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -72,9 +84,11 @@ case class MinHashSig(arr: Expression, k: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = elemType match {
     case LongType | StringType =>
-      if (k.dataType == IntegerType && k.foldable && k.eval().asInstanceOf[Int] >= 1)
-        TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("minhash_sig expects a foldable int k >= 1")
+      // k.eval() may be null (e.g. CAST(NULL AS INT) is foldable IntegerType)
+      // — that must be a TypeCheckFailure, not an analysis-time NPE
+      val kv = if (k.dataType == IntegerType && k.foldable) k.eval() else null
+      if (kv != null && kv.asInstanceOf[Int] >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("minhash_sig expects a foldable non-null int k >= 1")
     case _ => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig expects array<long> or array<string>, got ${arr.dataType.catalogString}")
   }
@@ -86,7 +100,10 @@ case class MinHashSig(arr: Expression, k: Expression) extends BinaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kr = ctx.addReferenceObj("minHashSigKernel", kernel, classOf[MinHashSigKernel].getName)
-    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $kr.sig($a);")
+    // the kernel returns null for effectively-empty input — propagate it as
+    // SQL NULL (ev.isNull), not a null-valued "non-null" slot
+    nullSafeCodeGen(ctx, ev,
+      (a, _) => s"${ev.value} = $kr.sig($a); ${ev.isNull} = (${ev.value} == null);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -99,9 +116,14 @@ final class IntersectCountKernel(isString: Boolean) extends Serializable {
   /** |a ∩ b| for two SORTED duplicate-free arrays by linear merge — no per
     * -call hash set, no allocation. Sort order must be Spark's `array_sort`
     * order for the element type (numeric for longs, binary/UTF8String for
-    * strings — both match the comparators used here). */
+    * strings — both match the comparators used here). Null elements never
+    * match anything and `array_sort` places them LAST, so the merge simply
+    * stops at the first null on either side — user-supplied arrays with
+    * null slots degrade to ignoring them instead of crashing the task. */
   def count(a: ArrayData, b: ArrayData): Long = {
-    val na = a.numElements(); val nb = b.numElements()
+    var na = a.numElements(); var nb = b.numElements()
+    while (na > 0 && a.isNullAt(na - 1)) na -= 1
+    while (nb > 0 && b.isNullAt(nb - 1)) nb -= 1
     var i = 0; var j = 0; var c = 0L
     if (isString) {
       while (i < na && j < nb) {
@@ -167,17 +189,20 @@ final class SimHashKernel extends Serializable {
     * per-bit sign-sum of xxhash64(token) — bit b of the result is set iff
     * strictly more tokens have bit b set than clear, exactly the
     * `sum(when(h & (1<<b) != 0, 1, -1)) > 0` fold of the exploded SQL
-    * formulation. */
+    * formulation. Null elements are skipped — a null token casts no bit
+    * votes, exactly as the exploded explode+groupBy drops null rows. */
   def simhash(arr: ArrayData): Long = {
     val cnt = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

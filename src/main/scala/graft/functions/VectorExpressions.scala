@@ -95,8 +95,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /* Shipping cost of the matrix: the kernel rides the serialized task
  * closure, which Spark itself broadcasts ONCE per stage (DAGScheduler's
  * taskBinary is a Broadcast) — each executor fetches the 10⁴×768 ≈ 60 MB
- * matrix once per stage, not once per task, so a separate user-level
- * broadcast variable would not reduce bytes moved. */
+ * matrix once per stage, not once per task. Scope of that claim: for a
+ * SINGLE stage a user-level Broadcast variable moves the same bytes; for
+ * MULTI-stage plans the taskBinary is re-built and re-fetched per stage
+ * while a Broadcast variable is fetched once per executor for the job
+ * lifetime, and a ≥60 MB closure also pays per-stage driver serialization
+ * and trips Spark's large-task-binary warning — so probe-heavy multi-stage
+ * pipelines at the 10⁴-cell end should prefer an explicit broadcast.
+ * Measured at k=10⁴ (tools/TaskBinaryProbe, ledger in BENCH/BASELINE.md). */
 final class CentroidKernel(mat: Array[Array[Double]], probes: Int, vecIsFloat: Boolean)
     extends Serializable {
   private val norms: Array[Double] = mat.map { r =>

@@ -171,10 +171,11 @@ object Multimodal {
             val id = ascii(b, off, 4); val sz = u32le(b, off + 4)
             if (id == "fmt " && off + 24 <= b.length) {
               ch = u16le(b, off + 10); rate = u32le(b, off + 12); blockAlign = u16le(b, off + 20)
-            } else if (id == "data" && sz >= 0 && off + 8 + sz <= b.length) {
+            } else if (id == "data" && sz >= 0 && sz <= b.length - off - 8) {
               // only accept a data size the buffer can actually hold — a
               // truncated blob declaring sz > remaining must not poison the
-              // bodyMean offset below
+              // bodyMean offset below (subtraction form: sz near 2^31 would
+              // wrap an addition-form bound negative and pass)
               dataSize = sz
             }
             // a corrupt size must not walk backwards, spin, or overflow the
@@ -373,7 +374,10 @@ object Multimodal {
     var sawEnd = false
     while (!sawEnd && off + 12 <= bytes.length) {
       val len = u32be(bytes, off)
-      if (len < 0 || off + 12 + len > bytes.length) return None
+      // subtraction-form bound: a declared length near 2^31 would wrap
+      // `off + 12 + len` negative and slip past an addition-form check,
+      // then crash the CRC update — corrupt blobs must return None instead
+      if (len < 0 || len > bytes.length - off - 12) return None
       val typ = ascii(bytes, off + 4, 4)
       val crc = new java.util.zip.CRC32
       crc.update(bytes, off + 4, 4 + len)
@@ -460,7 +464,8 @@ object Multimodal {
         fmtCode = u16le(b, off + 8); ch = u16le(b, off + 10)
         rate = u32le(b, off + 12); blockAlign = u16le(b, off + 20)
         bits = u16le(b, off + 22)
-      } else if (id == "data" && sz >= 0 && off + 8 + sz <= b.length) {
+      } else if (id == "data" && sz >= 0 && sz <= b.length - off - 8) {
+        // subtraction-form bound — see the chunk walk in decodeHeaders
         dataOff = off + 8; dataSize = sz
       }
       if (sz < 0 || sz > b.length) malformed = true else off += 8 + sz + (sz & 1)

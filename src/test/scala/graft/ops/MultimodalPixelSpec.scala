@@ -80,6 +80,31 @@ class MultimodalPixelSpec extends SparkTestBase {
     assert(out == Map(1L -> "unknown", 2L -> "audio", 3L -> "unknown"))
   }
 
+  test("declared chunk lengths near 2^31 must not wrap past the bounds guards") {
+    // PNG: signature + a chunk whose declared length would make an
+    // addition-form bound (off + 12 + len) wrap negative and pass — the
+    // old guard then crashed in crc.update with AIOOBE instead of None
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val hugePng = sig ++ Array[Byte](0x7f, -1, -1, -16) ++
+      "IHDR".getBytes("US-ASCII") ++ new Array[Byte](32)
+    assert(Multimodal.decodePng(hugePng).isEmpty)
+    // WAV: a data chunk declaring sz near 2^31 — the old guard set
+    // dataOff/dataSize before the malformed check fired, then sample
+    // parsing read far out of bounds
+    val wav = Multimodal.wavPcm(8000, 1, 10, 5)
+    val hugeWav = wav.clone()
+    hugeWav(40) = -16; hugeWav(41) = -1; hugeWav(42) = -1; hugeWav(43) = 0x7f
+    assert(Multimodal.decodeWavPcm(hugeWav).isEmpty)
+    // and decodeHeaders' chunk walk (same pattern): must not crash the task
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", hugePng),
+      Multimodal.MediaRow(2L, "audio", hugeWav)).toDS()
+    val byId = Multimodal.decodeHeaders(spark, rows).collect().map(f => f.media_id -> f).toMap
+    assert(byId(2L).media_type == "audio" && byId(2L).n_frames == 0) // no decodable data chunk
+    val pix = Multimodal.decodePixels(spark, rows).collect().map(f => f.media_id -> f.media_type).toMap
+    assert(pix == Map(1L -> "unknown", 2L -> "unknown"))
+  }
+
   test("synthesizeDecodable → decodePixels: every field matches pixelParamsFor") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.synthesizeDecodable(docs, "doc_id", "text")

@@ -105,4 +105,33 @@ class SetSketchParitySpec extends SparkTestBase {
     assert(now == r3Style)
     assert(now.nonEmpty) // the planted near-dups must actually surface
   }
+
+  test("registered SQL surface: null k, null elements and empty arrays are defined, not crashes") {
+    graft.functions.GraftFunctions.register(spark)
+    // foldable NULL k → analysis-time TypeCheckFailure, not an NPE
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(array('a','b'), CAST(NULL AS INT))").collect()
+    }
+    assert(ex.getMessage.contains("minhash_sig"))
+    // empty array → NULL signature (exploded groupBy drops tokenless docs);
+    // null elements are skipped, so all-null == empty and mixed == non-null
+    val r = spark.sql(
+      """SELECT minhash_sig(array_remove(array('x'), 'x'), 4)  AS empty_sig,
+                minhash_sig(array(CAST(NULL AS STRING)), 4)    AS allnull_sig,
+                minhash_sig(array('a', NULL, 'b'), 4)          AS mixed_sig,
+                minhash_sig(array('a', 'b'), 4)                AS plain_sig,
+                simhash64(array('a', NULL, 'b'))               AS mixed_sim,
+                simhash64(array('a', 'b'))                     AS plain_sim,
+                sorted_intersect_count(array(1L, 2L, NULL), array(2L, 3L, NULL)) AS mixed_cnt
+      """).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    assert(r.getLong(4) == r.getLong(5))
+    assert(r.getLong(6) == 1L)
+    // same semantics on long arrays and through a non-codegen (filter) path
+    val viaFilter = spark.sql(
+      """SELECT id FROM VALUES (1, array(1L, NULL)), (2, array(CAST(NULL AS BIGINT))) AS t(id, a)
+         WHERE minhash_sig(a, 2) IS NOT NULL""").collect().map(_.getInt(0)).toSeq
+    assert(viaFilter == Seq(1))
+  }
 }
