@@ -268,6 +268,14 @@ object SparkEntry {
     "q_fingerprint_winnow" -> ((s, d) =>
       Dedup.winnowingFingerprints(t(s, d, "documents"), "doc_id", "text")),
 
+    // the corpus-scale ROLLING configuration of the same operator (native
+    // O(n) polynomial-rolling-hash kernel, long fingerprints): the DuckDB
+    // oracle reproduces the wrapping 64-bit arithmetic in HUGEINT —
+    // (h*1000003 + byte) mod 2^64 per UTF-8 byte, signed-mapped before the
+    // window minima so comparisons match the kernel's signed longs
+    "q_fingerprint_winnow_rolling" -> ((s, d) =>
+      Dedup.winnowingFingerprints(t(s, d, "documents"), "doc_id", "text", rolling = true)),
+
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id").as("id"),
         size(regexp_extract_all(col("text"),
@@ -412,6 +420,21 @@ object SparkEntry {
     "q_multimodal_pixels" -> ((s, d) => {
       import s.implicits._
       val media = Multimodal.synthesizeDecodable(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.decodePixels(s, media.as[Multimodal.MediaRow]).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("n_frames"), round(col("brightness"), 6).as("brightness"))
+    }),
+
+    // REAL video frame decode end-to-end (no codec needed — uncompressed
+    // AVI): synthesizeDecodableVideo emits complete RIFF/AVI files with raw
+    // BI_RGB 00db frames, decodeAviFrames walks the chunk tree and extracts
+    // every frame's pixels, and the oracle recomputes width/height/frame
+    // count and the exact all-frame pixel-mean brightness from the same md5
+    // arithmetic. Frames differ per index, so the hash only matches if ALL
+    // frames were actually decoded.
+    "q_multimodal_video" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.synthesizeDecodableVideo(t(s, d, "documents"), "doc_id", "text")
       Multimodal.decodePixels(s, media.as[Multimodal.MediaRow]).toDF()
         .select(col("media_id"), col("media_type"), col("width"), col("height"),
           col("n_frames"), round(col("brightness"), 6).as("brightness"))
@@ -639,6 +662,30 @@ object SparkEntry {
                FROM g)
          SELECT id, unnest(fps) AS fingerprint FROM m""",
 
+    // HUGEINT reproduction of the rolling winnow kernel: text → UTF-8 bytes
+    // (codepoints expanded per the UTF-8 spec; the corpus is ASCII today but
+    // the expansion keeps the oracle byte-faithful), k-gram polynomial hash
+    // (h*B + b) mod 2^64 with B = 1000003, mapped to SIGNED 64-bit BEFORE
+    // the window minima (the kernel compares Scala Longs), distinct per doc
+    "q_fingerprint_winnow_rolling" ->
+      """WITH t AS (SELECT doc_id AS id,
+                           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+                    FROM documents),
+         b AS (SELECT id, flatten([CASE WHEN u < 128 THEN [u]
+                                        WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
+                                        WHEN u < 65536 THEN [224 + u // 4096, 128 + (u // 64) % 64, 128 + u % 64]
+                                        ELSE [240 + u // 262144, 128 + (u // 4096) % 64, 128 + (u // 64) % 64, 128 + u % 64] END
+                                   FOR u IN [unicode(substr(nt, i, 1)) FOR i IN range(1, length(nt)+1)]]) AS bs
+               FROM t),
+         h AS (SELECT id,
+                      [CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT)
+                       FOR hu IN [list_reduce([CAST(x AS HUGEINT) FOR x IN bs[i:i+7]],
+                                              (a, e) -> (a * 1000003 + e) % 18446744073709551616::HUGEINT)
+                                  FOR i IN range(1, len(bs) - 7 + 1)]] AS hs
+               FROM b WHERE len(bs) - 7 >= 4),
+         m AS (SELECT id, list_distinct([list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 3 + 1)]) AS fps FROM h)
+         SELECT id, unnest(fps) AS fingerprint FROM m""",
+
     "q_token_count" ->
       """SELECT doc_id AS id,
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
@@ -751,6 +798,29 @@ object SparkEntry {
                              ELSE ABS(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) / 32768.0 END,
                       6) AS brightness
          FROM s""",
+
+    // uncompressed-AVI frame decode: params from md5 positions 18-25 (the
+    // same arithmetic videoParamsFor uses); brightness is the exact integer
+    // pixel-byte sum over ALL frames divided by (frames*w*h*3*255) — frame f
+    // is constant color ((r0+13f)%256,(g0+17f)%256,(b0+19f)%256), so the sum
+    // is w*h*Σ_f(rf+gf+bf) and both engines divide the same two integers
+    "q_multimodal_video" ->
+      """WITH p AS (SELECT doc_id AS media_id, md5(text) AS m FROM documents),
+         c AS (SELECT media_id,
+                      8 + (ord(substr(m,18,1))*256 + ord(substr(m,19,1))) % 24 AS w,
+                      8 + (ord(substr(m,20,1))*256 + ord(substr(m,21,1))) % 24 AS h,
+                      2 + ord(substr(m,22,1)) % 7 AS nf,
+                      (ord(substr(m,23,1))*7) % 256 AS r0,
+                      (ord(substr(m,24,1))*11) % 256 AS g0,
+                      (ord(substr(m,25,1))*13) % 256 AS b0
+               FROM p)
+         SELECT media_id, 'video' AS media_type,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(nf AS INT) AS n_frames,
+                ROUND(CAST(w*h*list_sum([(r0+f*13)%256 + (g0+f*17)%256 + (b0+f*19)%256
+                                         FOR f IN range(0, nf)]) AS DOUBLE)
+                      / (CAST(nf AS BIGINT)*w*h*3*255.0), 6) AS brightness
+         FROM c""",
 
     "q_ann_bruteforce_topk" ->
       """SELECT e.vec_id AS id

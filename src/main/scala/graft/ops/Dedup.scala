@@ -250,7 +250,7 @@ object Dedup {
   /** Embedding near-duplicate pairs: cosine ≥ threshold over LSH buckets
     * from random-hyperplane signs (see Similarity.embeddingLshPairs). */
   def embeddingNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double = 0.98): DataFrame =
-    Similarity.embeddingLshPairs(spark, df, idCol, vecCol)
+                            threshold: Double = 0.98, corpusSize: Option[Long] = None): DataFrame =
+    Similarity.embeddingLshPairs(spark, df, idCol, vecCol, corpusSize = corpusSize)
       .filter(col("cos") >= threshold)
 }

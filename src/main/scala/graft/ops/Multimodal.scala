@@ -19,18 +19,22 @@ import org.apache.spark.sql.functions._
   * arithmetic so an independent DuckDB oracle can recompute the expected
   * decode output (`q_multimodal_decode`).
   *
-  * Pixel/sample decode is REAL for image and audio as of round 4 —
-  * neither needs an external codec: PNG decompression is JDK zlib
-  * ([[decodePng]]: chunk walk with CRC verification, `Inflater`, all five
-  * scanline filters undone) and WAV PCM16 is little-endian int16 parsing
-  * ([[decodeWavPcm]]); [[synthesizeDecodable]] emits COMPLETE real PNGs /
-  * PCM WAVs so `q_multimodal_pixels` holds the decode to a DuckDB
-  * md5-arithmetic oracle, and MultimodalPixelSpec cross-validates the PNG
+  * Pixel/sample/frame decode is REAL for ALL THREE media types — none
+  * needs an external codec: PNG decompression is JDK zlib ([[decodePng]]:
+  * chunk walk with CRC verification, `Inflater`, all five scanline filters
+  * undone), WAV PCM16 is little-endian int16 parsing ([[decodeWavPcm]]),
+  * and video rides an UNCOMPRESSED AVI (BI_RGB `00db` frames —
+  * [[decodeAviFrames]]: RIFF tree walk, BITMAPINFOHEADER parse, raw
+  * bottom-up BGR pixel extraction per frame). [[synthesizeDecodable]] /
+  * [[synthesizeDecodableVideo]] emit COMPLETE real containers so
+  * `q_multimodal_pixels` / `q_multimodal_video` hold the decode to DuckDB
+  * md5-arithmetic oracles, and MultimodalPixelSpec cross-validates the PNG
   * path pixel-exactly against javax.imageio on random images.
   *
-  * What remains STUBBED: VIDEO frame decompression (a real video codec
-  * does not exist in this environment) — [[decodeStub]] derives
-  * deterministic pseudo-features there; it is the single marked swap point.
+  * Nothing here is stubbed. COMPRESSED codecs (H.264, JPEG, MP3, …) do not
+  * exist in this environment; [[decodePixels]] routes such payloads to the
+  * typed "unknown" fallback, and a real deployment plugs its codec library
+  * into the same mapPartitions shape.
   */
 object Multimodal {
 
@@ -135,9 +139,9 @@ object Multimodal {
     * mapping: image (width, height, 1 frame); audio (width = sampleRate,
     * height = channels, n_frames = data samples = dataSize/blockAlign);
     * video (width, height, dwTotalFrames). `brightness` is the mean body
-    * byte — REAL brightness needs pixel decode, which stays in
-    * [[decodeStub]]. Unknown payloads fall back to the stub features with
-    * media_type "unknown". */
+    * byte — REAL brightness needs pixel decode ([[decodePixels]]). Unknown
+    * payloads fall back to deterministic pseudo-features with media_type
+    * "unknown". */
   def decodeHeaders(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -202,8 +206,8 @@ object Multimodal {
           }
           MediaFeatures(r.media_id, "video", b.length, checksum, w, h, fr, bodyMean(88))
         } else {
-          // --- STUB fallback: unknown container → pseudo-features (the
-          // codec-shaped remainder a real deployment replaces) ---
+          // unknown container → deterministic typed pseudo-features (a real
+          // deployment routes these to its codec library)
           var h = 1125899906842597L; var i = 0; var sum = 0L
           while (i < b.length) { h = 31 * h + b(i); sum += (b(i) & 0xff); i += 1 }
           MediaFeatures(r.media_id, "unknown", b.length, h,
@@ -214,38 +218,14 @@ object Multimodal {
     }
   }
 
-  /** Partition-wise batch decode — one iterator pass per partition, constant
-    * memory, no per-row JVM↔driver traffic. The body of the loop is the
-    * ONLY remaining stub, and as of round 4 it stands in for VIDEO frame
-    * decompression alone: container metadata decode is real
-    * ([[decodeHeaders]]) and image/audio pixel/sample decode is real
-    * ([[decodePixels]]); a deployment with an actual video codec (ffmpeg
-    * et al.) swaps it in here. */
-  def decodeStub(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        // --- STUB: replace with real codec (e.g. javax.imageio / ffmpeg) ---
-        val bytes = r.payload
-        var h = 1125899906842597L
-        var i = 0
-        var sum = 0L
-        while (i < bytes.length) { h = 31 * h + bytes(i); sum += (bytes(i) & 0xff); i += 1 }
-        val width = 16 + (math.abs(h) % 1024).toInt
-        val height = 16 + (math.abs(h >> 10) % 1024).toInt
-        val frames = if (r.media_type == "video") 1 + (math.abs(h >> 20) % 300).toInt else 1
-        val brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / (bytes.length * 255.0)
-        // --- end stub ---
-        MediaFeatures(r.media_id, r.media_type, bytes.length, h, width, height, frames, brightness)
-      }
-    }
-  }
-
-  // ---- REAL pixel/sample decode (round 4) ---------------------------------
-  // No external codecs needed for these two: PNG "decompression" is zlib
-  // (java.util.zip.Inflater, part of the JDK) plus per-scanline unfiltering,
-  // and WAV PCM16 is plain little-endian int16 parsing. Only VIDEO frame
-  // decode still requires a real codec and remains behind [[decodeStub]].
+  // ---- REAL pixel/sample/frame decode (rounds 4-5) -------------------------
+  // No external codecs needed for ANY of the three media types: PNG
+  // "decompression" is zlib (java.util.zip.Inflater, part of the JDK) plus
+  // per-scanline unfiltering, WAV PCM16 is plain little-endian int16
+  // parsing, and uncompressed AVI (BI_RGB `00db` frames) is raw bottom-up
+  // BGR byte extraction — there is no remaining decode stub. A deployment
+  // adding COMPRESSED codecs (H.264, JPEG, MP3, …) plugs its library into
+  // the same mapPartitions shape [[decodePixels]] uses.
 
   /** Deterministic pixel-level parameters from md5(text) — positions 10-17
     * of the hex digest (1-indexed SQL substr), so the DuckDB oracle can
@@ -340,6 +320,93 @@ object Multimodal {
       i += 2
     }
     wavContainer(rate, ch, body)
+  }
+
+  /** Deterministic VIDEO parameters from md5(text) — positions 18-25 of the
+    * hex digest (1-indexed SQL substr), disjoint from [[pixelParamsFor]]'s
+    * 10-17, so the DuckDB oracle recomputes every decoded value:
+    * (w, h, nFrames, r0, g0, b0). Frame f is the constant BGR color
+    * ((b0+19f)%256, (g0+17f)%256, (r0+13f)%256) — each frame differs, so a
+    * decoder that reads only the first frame (or miscounts) fails the
+    * brightness oracle. */
+  private[ops] def videoParamsFor(text: String): (Int, Int, Int, Int, Int, Int) = {
+    val m = md5Hex(text)
+    def o(i: Int): Int = m.charAt(i).toInt
+    val w = 8 + (o(17) * 256 + o(18)) % 24
+    val h = 8 + (o(19) * 256 + o(20)) % 24
+    val nFrames = 2 + o(21) % 7
+    val r0 = (o(22) * 7) % 256
+    val g0 = (o(23) * 11) % 256
+    val b0 = (o(24) * 13) % 256
+    (w, h, nFrames, r0, g0, b0)
+  }
+
+  /** A COMPLETE spec-valid UNCOMPRESSED AVI (the one video container that
+    * needs no codec): RIFF 'AVI ' → LIST hdrl (avih MainAVIHeader + LIST
+    * strl with a 'vids'/BI_RGB strh + 40-byte BITMAPINFOHEADER strf) →
+    * LIST movi of `00db` chunks, each one raw bottom-up 24-bit BGR frame
+    * with rows padded to 4-byte DWORD boundaries per the BMP convention.
+    * All RIFF sizes are real; every structure is per the public MS RIFF/AVI
+    * and BITMAPINFOHEADER layouts. Frame f is the constant color
+    * (r,g,b) = ((r0+13f)%256, (g0+17f)%256, (b0+19f)%256). */
+  private[ops] def aviFull(w: Int, h: Int, nFrames: Int, r0: Int, g0: Int, b0: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameSize = stride * h
+    val avih = le32(33333) ++ le32(frameSize * 30) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(frameSize) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++
+      le32(nFrames) ++ le32(frameSize) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) /* BI_RGB */ ++ le32(frameSize) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strl = "LIST".getBytes("US-ASCII") ++ le32(4 + 8 + strh.length + 8 + strf.length) ++
+      "strl".getBytes("US-ASCII") ++
+      "strh".getBytes("US-ASCII") ++ le32(strh.length) ++ strh ++
+      "strf".getBytes("US-ASCII") ++ le32(strf.length) ++ strf
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + 8 + 56 + strl.length) ++
+      "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(56) ++ avih ++ strl
+    val frames = new Array[Byte](nFrames * (8 + frameSize))
+    var f = 0
+    while (f < nFrames) {
+      val base = f * (8 + frameSize)
+      System.arraycopy("00db".getBytes("US-ASCII"), 0, frames, base, 4)
+      System.arraycopy(le32(frameSize), 0, frames, base + 4, 4)
+      val r = ((r0 + 13 * f) % 256).toByte
+      val g = ((g0 + 17 * f) % 256).toByte
+      val b = ((b0 + 19 * f) % 256).toByte
+      var y = 0
+      while (y < h) {
+        val row = base + 8 + y * stride
+        var x = 0
+        while (x < w) { // BGR pixel order; pad bytes beyond w*3 stay zero
+          frames(row + x * 3) = b; frames(row + x * 3 + 1) = g; frames(row + x * 3 + 2) = r
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    val movi = "LIST".getBytes("US-ASCII") ++ le32(4 + frames.length) ++
+      "movi".getBytes("US-ASCII") ++ frames
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+  }
+
+  /** Video payloads whose FRAMES are fully decodable in this environment:
+    * complete real uncompressed AVIs ([[aviFull]]), parameters from
+    * [[videoParamsFor]] — one per input row. */
+  def synthesizeDecodableVideo(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (w, h, nFrames, r0, g0, b0) = videoParamsFor(text)
+        MediaRow(id, "video", aviFull(w, h, nFrames, r0, g0, b0))
+      }.toDF()
   }
 
   /** Payloads whose pixel/sample content is FULLY decodable in this
@@ -482,14 +549,73 @@ object Multimodal {
     Some((rate, ch, dataSize / blockAlign, amp))
   }
 
-  /** REAL pixel/sample decode, partition-wise: PNG → zlib inflate +
+  /** Real uncompressed-AVI frame decode: verifies the RIFF/'AVI ' magic,
+    * walks the chunk tree (LISTs recursed, sizes bounds-checked in
+    * subtraction form like [[decodePng]]), reads the BITMAPINFOHEADER out
+    * of `strf` — only biCompression = 0 (BI_RGB) at 24 bpp qualifies, any
+    * compressed fourcc needs a real codec and returns None — then extracts
+    * every `..db`/`..dc` frame in the `movi` LIST: bottom-up rows of
+    * DWORD-padded BGR pixels, pad bytes excluded from the mean. Returns
+    * (width, height, decodedFrames, brightness = mean pixel byte / 255);
+    * None on anything structurally invalid (bad magic, truncated chunk,
+    * missing strf/movi, frame size ≠ stride·h, zero frames). */
+  private[ops] def decodeAviFrames(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (bytes.length < 12 || ascii(bytes, 0, 4) != "RIFF" || ascii(bytes, 8, 4) != "AVI ")
+      return None
+    var w = 0; var h = 0; var bpp = 0; var compression = -1
+    var nFrames = 0; var pixSum = 0L; var pixCnt = 0L
+    var bad = false
+    // walk one chunk level in [start, end); LISTs recurse one level deeper.
+    // Depth is bounded by the RIFF grammar (hdrl/strl/movi — ≤3), but the
+    // recursion guards itself against adversarial nesting via `end` bounds.
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var off = start
+      while (!bad && off + 8 <= end) {
+        val id = ascii(bytes, off, 4)
+        val sz = u32le(bytes, off + 4)
+        if (sz < 0 || sz > end - off - 8) { bad = true; return }
+        if (id == "LIST" && sz >= 4) {
+          if (depth < 8) walk(off + 12, off + 8 + sz, depth + 1)
+        } else if (id == "strf" && sz >= 40 && compression == -1) {
+          // first video BITMAPINFOHEADER wins (single-stream files)
+          w = u32le(bytes, off + 8 + 4)
+          h = u32le(bytes, off + 8 + 8)
+          bpp = u16le(bytes, off + 8 + 14)
+          compression = u32le(bytes, off + 8 + 16)
+        } else if (id.endsWith("db") || id.endsWith("dc")) {
+          // a movi frame chunk ('00db' raw / '00dc' "compressed" — BI_RGB
+          // streams use either id for raw DIB bits)
+          if (compression != 0 || bpp != 24 || w <= 0 || h <= 0) { bad = true; return }
+          val stride = ((w * 3 + 3) / 4) * 4
+          if (sz != stride * h) { bad = true; return }
+          var y = 0
+          while (y < h) {
+            val row = off + 8 + y * stride
+            var x = 0
+            while (x < w * 3) { pixSum += (bytes(row + x) & 0xff); x += 1 }
+            y += 1
+          }
+          pixCnt += w.toLong * h * 3
+          nFrames += 1
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length, 0)
+    if (bad || compression != 0 || bpp != 24 || w <= 0 || h <= 0 || nFrames == 0) None
+    else Some((w, h, nFrames, pixSum.toDouble / (pixCnt * 255.0)))
+  }
+
+  /** REAL pixel/sample/frame decode, partition-wise: PNG → zlib inflate +
     * unfilter + true pixel-mean brightness; WAV PCM16 → int16 samples +
     * true mean amplitude (field mapping as [[decodeHeaders]]: audio width =
     * sampleRate, height = channels, n_frames = frames, brightness = mean
-    * |sample|/32768). Anything else — including structurally corrupt blobs
-    * — falls back to "unknown" pseudo-features rather than failing the
-    * task. Video pixel decode still needs an actual codec ([[decodeStub]]).
-    * Cross-validated against javax.imageio in MultimodalPixelSpec. */
+    * |sample|/32768); uncompressed AVI → per-frame BGR pixel extraction +
+    * true frame count + all-frame pixel-mean brightness. Anything else —
+    * including structurally corrupt blobs and COMPRESSED video (which needs
+    * a real codec) — falls back to "unknown" pseudo-features rather than
+    * failing the task. Cross-validated against javax.imageio in
+    * MultimodalPixelSpec. */
   def decodePixels(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -506,12 +632,16 @@ object Multimodal {
           case None => decodeWavPcm(b) match {
             case Some((rate, ch, frames, amp)) =>
               MediaFeatures(r.media_id, "audio", b.length, checksum, rate, ch, frames, amp)
-            case None =>
-              var hh = 1125899906842597L; var i = 0; var sum = 0L
-              while (i < b.length) { hh = 31 * hh + b(i); sum += (b(i) & 0xff); i += 1 }
-              MediaFeatures(r.media_id, "unknown", b.length, hh,
-                16 + (math.abs(hh) % 1024).toInt, 16 + (math.abs(hh >> 10) % 1024).toInt, 1,
-                if (b.isEmpty) 0.0 else sum.toDouble / (b.length * 255.0))
+            case None => decodeAviFrames(b) match {
+              case Some((w, h, frames, bright)) =>
+                MediaFeatures(r.media_id, "video", b.length, checksum, w, h, frames, bright)
+              case None =>
+                var hh = 1125899906842597L; var i = 0; var sum = 0L
+                while (i < b.length) { hh = 31 * hh + b(i); sum += (b(i) & 0xff); i += 1 }
+                MediaFeatures(r.media_id, "unknown", b.length, hh,
+                  16 + (math.abs(hh) % 1024).toInt, 16 + (math.abs(hh >> 10) % 1024).toInt, 1,
+                  if (b.isEmpty) 0.0 else sum.toDouble / (b.length * 255.0))
+            }
           }
         }
       }

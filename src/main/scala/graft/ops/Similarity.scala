@@ -104,16 +104,21 @@ object Similarity {
     * bound — wider bands trade far-pair recall for linear work, while
     * exact/near-exact duplicates (θ≈0) collide in EVERY band at any width. */
   def embeddingLshPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-                        bandBits: Int = 0, nBands: Int = 4, bucketCap: Int = 2000): DataFrame = {
+                        bandBits: Int = 0, nBands: Int = 4, bucketCap: Int = 2000,
+                        corpusSize: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val ids = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val w =
       if (bandBits > 0) bandBits
       else {
-        val n = ids.count() // one cheap job on the (id, vec) projection
+        // `corpusSize` skips the sizing scan when the caller already knows n
+        // — at 100 TB that count() is a full corpus pass per call
+        val n = corpusSize.getOrElse(ids.count())
         math.max(4, math.min(60 / nBands,
           math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt))
       }
+    System.err.println(s"[lsh] embeddingLshPairs band width w=$w (nBands=$nBands, " +
+      s"${if (bandBits > 0) "fixed" else corpusSize.map(n => s"auto from supplied n=$n").getOrElse("auto from count()")})")
     val bits = nBands * w
     val sk = ids.withColumn("sketch", signSketch(col("v"), bits)).persist()
     val bandKeys = (0 until nBands).map { b =>
@@ -127,10 +132,16 @@ object Similarity {
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    cand
+    // eager checkpoint of the (small, banded+capped) verified pair set, then
+    // RELEASE the sketch cache — a lazily returned frame would leave sk
+    // persisted for the session lifetime, evicting other users' blocks
+    val out = cand
       .join(sk.select(col("id").as("a"), col("v").as("va")), Seq("a"))
       .join(sk.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
       .select(col("a"), col("b"), cosineNative(col("va"), col("vb")).as("cos"))
+      .localCheckpoint(true)
+    sk.unpersist()
+    out
   }
 
   /** The nProbe nearest centroid indices for a vector column, via the native

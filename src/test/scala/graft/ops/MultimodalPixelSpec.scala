@@ -105,6 +105,60 @@ class MultimodalPixelSpec extends SparkTestBase {
     assert(pix == Map(1L -> "unknown", 2L -> "unknown"))
   }
 
+  test("decodeAviFrames recovers dims, frame count and exact all-frame brightness") {
+    // odd width → DWORD row padding in play; pad bytes must NOT enter the mean
+    for ((w, h, nf) <- Seq((9, 8, 3), (8, 8, 2), (31, 17, 7))) {
+      val avi = Multimodal.aviFull(w, h, nf, 10, 20, 30)
+      val got = Multimodal.decodeAviFrames(avi)
+      val sum = (0 until nf).map(f => (10 + 13 * f) % 256 + (20 + 17 * f) % 256 + (30 + 19 * f) % 256)
+        .map(_.toLong * w * h).sum
+      assert(got.contains((w, h, nf, sum.toDouble / (nf.toLong * w * h * 3 * 255.0))), s"$w x $h x $nf")
+    }
+  }
+
+  test("corrupt / truncated / compressed AVIs fall back instead of crashing") {
+    val avi = Multimodal.aviFull(12, 10, 3, 1, 2, 3)
+    assert(Multimodal.decodeAviFrames(avi.take(avi.length / 2)).isEmpty) // truncated mid-movi
+    assert(Multimodal.decodeAviFrames(avi.take(40)).isEmpty) // truncated in hdrl
+    val comp = avi.clone() // biCompression at strf data +16; strf data starts at 12+8+4+8+56+8+4+8+56+8 = 172... locate by scan
+    val strfAt = comp.sliding(4).indexWhere(_.sameElements("strf".getBytes("US-ASCII")))
+    comp(strfAt + 8 + 16) = 1 // BI_RLE8 → needs a codec → None
+    assert(Multimodal.decodeAviFrames(comp).isEmpty)
+    val badFrame = avi.clone() // declared frame size ≠ stride*h
+    val dbAt = badFrame.sliding(4).indexWhere(_.sameElements("00db".getBytes("US-ASCII")))
+    badFrame(dbAt + 4) = (badFrame(dbAt + 4) ^ 1).toByte
+    assert(Multimodal.decodeAviFrames(badFrame).isEmpty)
+    // declared chunk size near 2^31 must not wrap the subtraction-form bound
+    val huge = avi.clone()
+    huge(dbAt + 4) = -16; huge(dbAt + 5) = -1; huge(dbAt + 6) = -1; huge(dbAt + 7) = 0x7f
+    assert(Multimodal.decodeAviFrames(huge).isEmpty)
+    // through the Spark surface: typed fallback, no task failure
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", avi),
+      Multimodal.MediaRow(2L, "video", comp),
+      Multimodal.MediaRow(3L, "video", avi.take(40))).toDS()
+    val out = Multimodal.decodePixels(spark, rows).collect().map(f => f.media_id -> f.media_type).toMap
+    assert(out == Map(1L -> "video", 2L -> "unknown", 3L -> "unknown"))
+  }
+
+  test("synthesizeDecodableVideo → decodePixels: every field matches videoParamsFor") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.synthesizeDecodableVideo(docs, "doc_id", "text")
+    val got = Multimodal.decodePixels(spark, media.as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f).toMap
+    val texts = docs.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val (w, h, nf, r0, g0, b0) = Multimodal.videoParamsFor(text)
+      val f = got(id)
+      assert(f.media_type == "video" && f.width == w && f.height == h && f.n_frames == nf)
+      val sum = (0 until nf).map(fr => (r0 + 13 * fr) % 256 + (g0 + 17 * fr) % 256 + (b0 + 19 * fr) % 256)
+        .map(_.toLong * w * h).sum
+      assert(f.brightness == sum.toDouble / (nf.toLong * w * h * 3 * 255.0))
+    }
+  }
+
   test("synthesizeDecodable → decodePixels: every field matches pixelParamsFor") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.synthesizeDecodable(docs, "doc_id", "text")

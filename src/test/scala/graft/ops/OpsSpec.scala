@@ -109,6 +109,36 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.forall(r => (r.getLong(0) - r.getLong(1)) % 2 == 0))
   }
 
+  test("embeddingLshPairs: supplied corpus size skips the sizing scan, output identical") {
+    val vecs = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.3f, 0.1f) else Seq(0.0f, 1.0f, -0.4f, 0.2f)
+      (i.toLong, base.map(_ + (i % 7) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val sc = spark.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.size
+    def jobsDuring(group: String)(f: => org.apache.spark.sql.DataFrame): (Int, Set[(Long, Long, Double)]) = {
+      sc.setJobGroup(group, group)
+      val out = f // eager: the pair set materializes inside the call
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      sc.clearJobGroup()
+      (sc.statusTracker.getJobIdsForGroup(group).length, out)
+    }
+    val (jobsCounted, a) = jobsDuring("lsh_counted") {
+      Similarity.embeddingLshPairs(spark, vecs, "vec_id", "embedding")
+    }
+    val (jobsSupplied, b) = jobsDuring("lsh_supplied") {
+      Similarity.embeddingLshPairs(spark, vecs, "vec_id", "embedding", corpusSize = Some(50L))
+    }
+    assert(a == b && a.nonEmpty)
+    // the supplied-n path must not run the ids.count() sizing job
+    assert(jobsSupplied < jobsCounted, s"supplied=$jobsSupplied counted=$jobsCounted")
+    // the sketch cache must not leak: each call may leave ONE persisted RDD
+    // (the eager checkpoint of the returned pair frame) — a leaked sk would
+    // double that
+    val delta = sc.getPersistentRDDs.size - persistedBefore
+    assert(delta <= 2, s"leaked persisted RDDs: delta=$delta")
+  }
+
   test("language id heuristic") {
     val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -127,10 +157,10 @@ class OpsSpec extends SparkTestBase {
     assert(tc(1L) == 10) // 9 words + final period
   }
 
-  test("multimodal decode stub plumbing") {
+  test("multimodal frame-sampling plumbing over the real header decode") {
     val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
     import spark.implicits._
-    val features = Multimodal.decodeStub(spark, media.as[Multimodal.MediaRow])
+    val features = Multimodal.decodeHeaders(spark, media.as[Multimodal.MediaRow])
     val rows = features.collect()
     assert(rows.length == 7)
     assert(rows.forall(f => f.byte_len > 0 && f.width >= 16 && f.brightness > 0))
