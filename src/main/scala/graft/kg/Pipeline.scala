@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   final case class Result(triples: DataFrame, counters: Map[String, Long],
-                          validation: Option[ValidationResult])
+                          validation: Option[ValidationResult],
+                          stageSeconds: Map[String, Double] = Map.empty)
 
   /** Shape schema for validating the constructed graph: persons must work at
     * ≥1 valid organization; projects must have ≥1 valid contributor. */
@@ -136,15 +137,18 @@ object Pipeline {
           coalesce(surfaceToIri(col("objCanon")), element_at(clsOf, col("oid"))).as("obj"))
     }
 
+    var validateSec = 0.0
     val validation =
       if (validate) {
         val t0 = System.nanoTime()
         val v = new Validator(spark, triples, kgShapes).run()
-        System.err.println(f"[stage validate] ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        validateSec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[stage validate] $validateSec%.1fs")
         Some(v)
       } else None
 
-    Result(triples, ckpt.counters, validation)
+    Result(triples, ckpt.counters, validation,
+      ckpt.stageSeconds ++ (if (validate) Map("validate" -> validateSec) else Map.empty))
   }
 
   /** Publish the emitted graph as the north-rule table layout: parquet

@@ -18,6 +18,11 @@ import scala.jdk.CollectionConverters._
 final class StageCheckpoint(spark: SparkSession, baseDir: String) {
   Files.createDirectories(Paths.get(baseDir))
 
+  // wall seconds per computed stage this run (resumed stages are absent) —
+  // read by ScalingBench to attribute a slow leg to a named stage
+  private val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+  def stageSeconds: Map[String, Double] = times.toMap
+
   final case class StageLineage(rows: Long, checksum: Long, partitions: Seq[(Int, Long)])
 
   private def lineagePath(name: String) = Paths.get(s"$baseDir/$name.lineage.json")
@@ -92,6 +97,7 @@ final class StageCheckpoint(spark: SparkSession, baseDir: String) {
       val lin = StageLineage(m("rows").asInstanceOf[Long],
         m("checksum").asInstanceOf[Long], footerCounts(dataPath(name)))
       val tWrite = (System.nanoTime() - t0) / 1e9
+      times(name) = tWrite
       System.err.println(f"[stage $name] write=${tWrite}%.1fs (lineage in-flight) rows=${lin.rows}")
       val json =
         s"""{"stage":"$name","params_sig":${paramsSig(params)},"rows":${lin.rows},"checksum":${lin.checksum},
