@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSession
@@ -102,14 +102,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
  * lifetime, and a ≥60 MB closure also pays per-stage driver serialization
  * and trips Spark's large-task-binary warning — so probe-heavy multi-stage
  * pipelines at the 10⁴-cell end should prefer an explicit broadcast.
- * Measured at k=10⁴ (tools/TaskBinaryProbe, ledger in BENCH/BASELINE.md). */
-final class CentroidKernel(mat: Array[Array[Double]], probes: Int, vecIsFloat: Boolean)
-    extends Serializable {
-  private val norms: Array[Double] = mat.map { r =>
+ * Measured at k=10⁴ (tools/TaskBinaryProbe, ledger in BENCH/BASELINE.md):
+ * the matrix actually ships TWICE per task binary (foldable Literal child
+ * + kernel reference object, ≈123 MB at 10⁴×768) and every TASK re-pays
+ * the deserialization (~5.4 s) — so the literal form is for SMALL-to-MID k
+ * only; [[NearestCellsBcast]] is the large-k form (one explicit Broadcast
+ * of the shared [[CentroidMatrix]], fetched once per executor for the job
+ * lifetime, expression serializes as a handle). */
+final class CentroidMatrix(val mat: Array[Array[Double]]) extends Serializable {
+  val norms: Array[Double] = mat.map { r =>
     var s = 0.0; var i = 0
     while (i < r.length) { s += r(i) * r(i); i += 1 }
     math.sqrt(s)
   }
+}
+
+final class CentroidKernel(shared: CentroidMatrix, probes: Int, vecIsFloat: Boolean)
+    extends Serializable {
+  def this(mat: Array[Array[Double]], probes: Int, vecIsFloat: Boolean) =
+    this(new CentroidMatrix(mat), probes, vecIsFloat)
+  private val mat: Array[Array[Double]] = shared.mat
+  private val norms: Array[Double] = shared.norms
   private val p = math.min(math.max(probes, 1), math.max(mat.length, 1))
 
   /** Indices of the `probes` max-cosine centroids, cosine desc, ties broken
@@ -222,6 +235,60 @@ case class NearestCells(vec: Expression, centroids: Expression, probes: Expressi
     copy(vec = newFirst, centroids = newSecond, probes = newThird)
 
   override def prettyName: String = "ivf_cells"
+}
+
+/** Broadcast-backed variant of [[NearestCells]] for LARGE centroid matrices
+  * (TaskBinaryProbe: at 10⁴×768 the literal form ships ≈123 MB per task
+  * binary and every task re-pays ~5.4 s of deserialization). Here the
+  * shared [[CentroidMatrix]] (vectors + precomputed norms) lives in ONE
+  * explicit `Broadcast`: the expression serializes as a tiny handle, each
+  * executor fetches and deserializes the matrix ONCE for the job lifetime,
+  * and per generated-code instance the kernel wrapper is rebuilt from the
+  * cached broadcast value (allocation-only — norms ride the broadcast).
+  * Results are bit-identical to `ivf_cells` (same [[CentroidKernel]]).
+  *
+  * Built via [[GraftFunctions.registerCentroidBcast]], which registers a
+  * session function bound to the broadcast (a runtime object cannot ride a
+  * SQL literal) — callers then use `call_function(name, vecCol)`. */
+case class NearestCellsBcast(vec: Expression, probes: Int,
+    matBcast: org.apache.spark.broadcast.Broadcast[CentroidMatrix])
+    extends UnaryExpression {
+
+  override def child: Expression = vec
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_cells_bcast expects an array<float|double> vector, got ${t.catalogString}")
+  }
+
+  @transient private lazy val kernel: CentroidKernel =
+    new CentroidKernel(matBcast.value, probes, vecIsFloat)
+
+  override def nullSafeEval(v: Any): Any = kernel.assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bc = ctx.addReferenceObj("centroidMatBcast", matBcast, bcCls)
+    // kernel built ONCE per generated-class instance from the executor's
+    // cached broadcast value — not per row
+    val kern = ctx.addMutableState(classOf[CentroidKernel].getName, "centroidBcastKernel",
+      v => s"$v = new ${classOf[CentroidKernel].getName}(" +
+        s"(${classOf[CentroidMatrix].getName}) $bc.value(), $probes, $vecIsFloat);")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $kern.assign($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(vec = newChild)
+
+  override def prettyName: String = "ivf_cells_bcast"
 }
 
 /** Per-row sign-sketch kernel. The pseudo-random hyperplane component
@@ -373,5 +440,26 @@ object GraftFunctions {
         require(children.size == 1, "simhash64 takes exactly 1 argument")
         SimHash64(children.head)
       })
+  }
+
+  /** Broadcast a centroid matrix once and register a session function bound
+    * to it: `call_function(<returned name>, vecCol)` ≡
+    * `ivf_cells(vecCol, <matrix literal>, nProbe)` but with the matrix
+    * moving as ONE per-executor broadcast instead of twice per task binary.
+    * The name is keyed on the broadcast id + nProbe, so re-registration for
+    * the same broadcast is idempotent. Callers own the broadcast lifecycle
+    * (destroy() when the index is dropped). */
+  def registerCentroidBcast(spark: SparkSession,
+      matBcast: org.apache.spark.broadcast.Broadcast[CentroidMatrix],
+      nProbe: Int): String = {
+    val name = s"ivf_cells_bcast_${matBcast.id}_$nProbe"
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[NearestCellsBcast].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"$name takes exactly 1 argument (the vector column)")
+        NearestCellsBcast(children.head, nProbe, matBcast)
+      })
+    name
   }
 }

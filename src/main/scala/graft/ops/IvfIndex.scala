@@ -18,13 +18,45 @@ import org.apache.spark.sql.functions._
   * plans stay O(1) in nCentroids.
   *
   * @param centroids cell id (array index) → centroid vector
+  * @param bcastThreshold matrices of at least this many doubles route
+  *        through an explicit per-executor Broadcast instead of the plan
+  *        literal. TaskBinaryProbe ledger (BENCH/BASELINE.md): the literal
+  *        form ships the matrix TWICE per task binary (Literal child +
+  *        kernel reference object) and every task re-pays deserialization
+  *        (~5.4 s at 10⁴×768 ≈ 123 MB) — per-stage and per-job; the
+  *        broadcast is fetched once per executor for the job lifetime.
+  *        Default 2²⁰ doubles (≈8 MB serialized, e.g. 10³ cells × 10³
+  *        dims); small indexes keep the zero-session-state literal plan.
   */
-final case class IvfIndex(centroids: Array[Seq[Double]]) {
+final case class IvfIndex(centroids: Array[Seq[Double]],
+                          bcastThreshold: Long = 1L << 20) {
 
   def nCentroids: Int = centroids.length
 
-  private def cells(vecCol: Column, nProbe: Int): Column =
-    call_function("ivf_cells", vecCol, typedLit(centroids.toSeq), lit(nProbe))
+  @transient private var matBcast:
+    org.apache.spark.broadcast.Broadcast[graft.functions.CentroidMatrix] = _
+
+  private def matrixDoubles: Long =
+    centroids.length.toLong * (if (centroids.isEmpty) 0 else centroids(0).length)
+
+  private def cells(spark: SparkSession, vecCol: Column, nProbe: Int): Column =
+    if (matrixDoubles < bcastThreshold)
+      call_function("ivf_cells", vecCol, typedLit(centroids.toSeq), lit(nProbe))
+    else {
+      synchronized {
+        if (matBcast == null)
+          matBcast = spark.sparkContext.broadcast(
+            new graft.functions.CentroidMatrix(centroids.map(_.toArray)))
+      }
+      val fn = graft.functions.GraftFunctions.registerCentroidBcast(spark, matBcast, nProbe)
+      call_function(fn, vecCol)
+    }
+
+  /** Release the centroid broadcast (no-op on the literal path). Call when
+    * the index is retired — broadcasts otherwise live until context stop. */
+  def release(): Unit = synchronized {
+    if (matBcast != null) { matBcast.destroy(); matBcast = null }
+  }
 
   /** One-pass corpus assignment: input columns preserved, plus `cell` (the
     * max-cosine centroid index). Write the result bucketed/partitioned by
@@ -32,7 +64,7 @@ final case class IvfIndex(centroids: Array[Seq[Double]]) {
   def assignCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("cell", element_at(cells(col("v"), 1), 1))
+      .withColumn("cell", element_at(cells(df.sparkSession, col("v"), 1), 1))
   }
 
   /** Batch k-NN against a PRE-ASSIGNED corpus (the output of
@@ -45,7 +77,8 @@ final case class IvfIndex(centroids: Array[Seq[Double]]) {
                 idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .select(col("qid"), col("qv"), explode(cells(col("qv"), nProbe)).as("cell"))
+      .select(col("qid"), col("qv"),
+        explode(cells(queries.sparkSession, col("qv"), nProbe)).as("cell"))
     val scored = q.join(corpusCells, Seq("cell"))
       .select(col("qid"), col("id"),
         Similarity.cosineNative(col("qv"), col("v")).as("cos"))

@@ -139,6 +139,43 @@ class OpsSpec extends SparkTestBase {
     assert(delta <= 2, s"leaked persisted RDDs: delta=$delta")
   }
 
+  test("broadcast centroid path is bit-identical to the literal ivf_cells plan") {
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 16
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => (((i * 31 + j * 7) % 19) - 9).toFloat / 9f))
+    }.toDF("vec_id", "embedding")
+    val centroids: Array[Seq[Double]] =
+      Array.tabulate(64)(i => Seq.tabulate(dim)(j => (((i * 13 + j * 5) % 17) - 8) / 8.0))
+    // expression-level parity: literal vs broadcast form, nProbe > 1
+    val lit3 = vecs.select($"vec_id",
+      org.apache.spark.sql.functions.call_function("ivf_cells",
+        $"embedding", org.apache.spark.sql.functions.typedLit(centroids.toSeq),
+        org.apache.spark.sql.functions.lit(3)).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val bc = spark.sparkContext.broadcast(
+      new graft.functions.CentroidMatrix(centroids.map(_.toArray)))
+    val fn = graft.functions.GraftFunctions.registerCentroidBcast(spark, bc, 3)
+    val bc3 = vecs.select($"vec_id",
+      org.apache.spark.sql.functions.call_function(fn, $"embedding").as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(lit3 == bc3)
+    bc.destroy()
+    // index-level parity: a forced-broadcast IvfIndex serves the same
+    // assignment and top-k as the literal-path index
+    val idxL = IvfIndex(centroids)
+    val idxB = IvfIndex(centroids, bcastThreshold = 0)
+    assert(idxL.assignCorpus(vecs, "vec_id", "embedding").collect().toSet ==
+      idxB.assignCorpus(vecs, "vec_id", "embedding").collect().toSet)
+    val queries = vecs.filter($"vec_id" < 5)
+    val corpusL = idxL.assignCorpus(vecs.filter($"vec_id" >= 5), "vec_id", "embedding")
+    def topk(idx: IvfIndex) =
+      idx.batchTopK(queries, corpusL, "vec_id", "embedding", k = 3, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topk(idxL) == topk(idxB))
+    idxB.release()
+  }
+
   test("language id heuristic") {
     val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
