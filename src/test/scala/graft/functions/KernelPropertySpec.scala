@@ -107,17 +107,16 @@ class KernelPropertySpec extends SparkTestBase {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.unsafe.types.UTF8String
 
-  private def refMinHashLong(arr: Seq[Long], k: Int): Seq[Long] =
-    (0 until k).map { i =>
-      if (arr.isEmpty) Long.MaxValue
-      else arr.map(t => XXH64.hashInt(i, XXH64.hashLong(t, 42L))).min
-    }
+  // empty set → null signature (round-5 semantics: matches the exploded
+  // groupBy that simply drops tokenless docs)
+  private def refMinHashLong(arr: Seq[Long], k: Int): Option[Seq[Long]] =
+    if (arr.isEmpty) None
+    else Some((0 until k).map(i => arr.map(t => XXH64.hashInt(i, XXH64.hashLong(t, 42L))).min))
 
-  private def refMinHashStr(arr: Seq[String], k: Int): Seq[Long] =
-    (0 until k).map { i =>
-      if (arr.isEmpty) Long.MaxValue
-      else arr.map(t => XXH64.hashInt(i, XXH64.hashUTF8String(UTF8String.fromString(t), 42L))).min
-    }
+  private def refMinHashStr(arr: Seq[String], k: Int): Option[Seq[Long]] =
+    if (arr.isEmpty) None
+    else Some((0 until k).map(i =>
+      arr.map(t => XXH64.hashInt(i, XXH64.hashUTF8String(UTF8String.fromString(t), 42L))).min))
 
   test("minhash_sig matches the XXH64 reference fold on random long and string sets") {
     graft.functions.GraftFunctions.register(spark)
@@ -129,7 +128,8 @@ class KernelPropertySpec extends SparkTestBase {
       }
       val gotL = longRows.toDF("id", "sh")
         .select($"id", call_function("minhash_sig", $"sh", lit(k)).as("s"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
       longRows.foreach { case (id, arr) =>
         assert(gotL(id) == refMinHashLong(arr, k), s"seed=$seed k=$k id=$id (long)")
       }
@@ -138,7 +138,8 @@ class KernelPropertySpec extends SparkTestBase {
       }
       val gotS = strRows.toDF("id", "sh")
         .select($"id", call_function("minhash_sig", $"sh", lit(k)).as("s"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
       strRows.foreach { case (id, arr) =>
         assert(gotS(id) == refMinHashStr(arr, k), s"seed=$seed k=$k id=$id (string)")
       }
