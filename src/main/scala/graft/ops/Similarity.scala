@@ -155,6 +155,33 @@ object Similarity {
   private def nearestCells(vecCol: Column, centroids: Array[Seq[Double]], nProbe: Int): Column =
     call_function("ivf_cells", vecCol, typedLit(centroids.toSeq), lit(nProbe))
 
+  /** Default matrix size (in doubles) above which the ANN family switches
+    * from the plan-literal `ivf_cells` to the broadcast-backed
+    * `ivf_cells_bcast` — TaskBinaryProbe ledger (BENCH/BASELINE.md): the
+    * literal form ships the matrix twice per task binary and every task
+    * re-deserializes it (~11.7 s at 10⁴×768); 2²⁰ doubles ≈ 8 MB serialized
+    * is where that cost starts to matter. */
+  private[ops] val DefaultCentroidBcastThreshold: Long = 1L << 20
+
+  /** [[nearestCells]] with automatic literal-vs-broadcast routing. The
+    * returned broadcast handle (None on the literal path) lets eager
+    * callers (the k-means iteration loop) destroy it as soon as the action
+    * completes; lazy callers leave it referenced by the returned plan and
+    * the ContextCleaner reclaims it when the plan is dropped. */
+  private def nearestCellsAuto(spark: SparkSession, vecCol: Column,
+      centroids: Array[Seq[Double]], nProbe: Int, bcastThreshold: Long)
+      : (Column, Option[org.apache.spark.broadcast.Broadcast[graft.functions.CentroidMatrix]]) = {
+    val nDoubles = centroids.length.toLong *
+      (if (centroids.isEmpty) 0 else centroids(0).length)
+    if (nDoubles < bcastThreshold) (nearestCells(vecCol, centroids, nProbe), None)
+    else {
+      val bc = spark.sparkContext.broadcast(
+        new graft.functions.CentroidMatrix(centroids.map(_.toArray)))
+      val fn = graft.functions.GraftFunctions.registerCentroidBcast(spark, bc, nProbe)
+      (call_function(fn, vecCol), Some(bc))
+    }
+  }
+
   /** Deterministic distributed k-means (spherical, cosine assignment) for
     * IVF coarse quantization: seeds are a deterministic hash-based sample
     * (xxhash64 of the id — no Random, reproducible across runs and
@@ -172,7 +199,8 @@ object Similarity {
     *        converges on a bounded sample and the corpus is assigned ONCE
     *        afterwards (see [[IvfIndex]]). */
   def kMeansCentroids(spark: SparkSession, data: DataFrame, k: Int,
-                      iters: Int = 5, trainCap: Long = 0): Array[Seq[Double]] = {
+                      iters: Int = 5, trainCap: Long = 0,
+                      bcastThreshold: Long = DefaultCentroidBcastThreshold): Array[Seq[Double]] = {
     graft.functions.GraftFunctions.register(spark)
     val train =
       if (trainCap <= 0) data
@@ -188,10 +216,15 @@ object Similarity {
     for (_ <- 0 until iters) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
+      // the matrix CHANGES every iteration — on the broadcast path each
+      // round gets its own broadcast, destroyed as soon as the (eager)
+      // aggregate collects, so k-means never accumulates stale matrices
+      val (cellCol, bc) = nearestCellsAuto(spark, col("v"), centroids, 1, bcastThreshold)
       val means = train
-        .withColumn("cell", element_at(nearestCells(col("v"), centroids, 1), 1))
+        .withColumn("cell", element_at(cellCol, 1))
         .groupBy(col("cell")).agg(count(lit(1)).as("n"), sums: _*)
         .collect()
+      bc.foreach(_.destroy())
       // empty cells keep their previous centroid (deterministic)
       val updated = means.map { r =>
         val n = r.getLong(1).toDouble
@@ -207,14 +240,17 @@ object Similarity {
     * top-k (id, cos). */
   def ivfTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-              kmeansIters: Int = 5): DataFrame = {
+              kmeansIters: Int = 5,
+              bcastThreshold: Long = DefaultCentroidBcastThreshold): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val data = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
-    val centroids = kMeansCentroids(spark, data, nCentroids, kmeansIters)
-    // assign: per row, the nProbe centroids with max cosine
+    val centroids = kMeansCentroids(spark, data, nCentroids, kmeansIters, bcastThreshold = bcastThreshold)
+    // assign: per row, the nProbe centroids with max cosine. Lazy plan →
+    // the broadcast (if any) stays referenced by it; ContextCleaner
+    // reclaims it once the caller drops the frame.
+    val (cellCol, _) = nearestCellsAuto(spark, col("v"), centroids, nProbe, bcastThreshold)
     val assigned = data
-      .select(col("id"), col("v"),
-        explode(nearestCells(col("v"), centroids, nProbe)).as("cell"))
+      .select(col("id"), col("v"), explode(cellCol).as("cell"))
     val q = array(query.map(lit): _*)
     // query probes its own nProbe best cells — same ranking (cos desc,
     // index asc) as the kernel, computed driver-side on the tiny matrix
@@ -249,17 +285,24 @@ object Similarity {
   def ivfBatchTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
                    idCol: String, vecCol: String, k: Int,
                    nCentroids: Int = 16, nProbe: Int = 4,
-                   kmeansIters: Int = 5): DataFrame = {
+                   kmeansIters: Int = 5,
+                   bcastThreshold: Long = DefaultCentroidBcastThreshold): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
-    val centroids = kMeansCentroids(spark, c, nCentroids, kmeansIters)
-    // corpus → exactly one cell (its max-cosine centroid)
-    val corpusCells = c.withColumn("cell",
-      element_at(nearestCells(col("v"), centroids, 1), 1))
+    val centroids = kMeansCentroids(spark, c, nCentroids, kmeansIters, bcastThreshold = bcastThreshold)
+    // corpus → exactly one cell (its max-cosine centroid); both sides share
+    // ONE broadcast on the large-matrix path (two stages, one fetch/executor)
+    val (assignCol, bc) = nearestCellsAuto(spark, col("v"), centroids, 1, bcastThreshold)
+    val corpusCells = c.withColumn("cell", element_at(assignCol, 1))
     // queries → their nProbe best cells
+    val probeCol = bc match {
+      case Some(b) =>
+        val fn = graft.functions.GraftFunctions.registerCentroidBcast(spark, b, nProbe)
+        call_function(fn, col("qv"))
+      case None => nearestCells(col("qv"), centroids, nProbe)
+    }
     val queryCells = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .select(col("qid"), col("qv"),
-        explode(nearestCells(col("qv"), centroids, nProbe)).as("cell"))
+      .select(col("qid"), col("qv"), explode(probeCol).as("cell"))
     val scored = queryCells.join(corpusCells, Seq("cell"))
       .select(col("qid"), col("id"),
         cosineNative(col("qv"), col("v")).as("cos"))

@@ -176,6 +176,24 @@ class OpsSpec extends SparkTestBase {
     idxB.release()
   }
 
+  test("ANN family on the forced-broadcast path matches the literal path exactly") {
+    val dim = 12
+    val emb = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => (((i * 17 + j * 3) % 23) - 11).toFloat / 11f))
+    }.toDF("vec_id", "embedding")
+    def centroidsAt(thr: Long) = Similarity.kMeansCentroids(spark,
+      emb.select($"vec_id".as("id"), $"embedding".as("v")), k = 6, iters = 3,
+      bcastThreshold = thr)
+    // k-means: per-iteration broadcasts (destroyed in-loop) must not change
+    // a single centroid coordinate
+    assert(centroidsAt(Long.MaxValue).toSeq == centroidsAt(0L).toSeq)
+    def batch(thr: Long) = Similarity.ivfBatchTopK(spark,
+      emb.filter($"vec_id" < 5), emb.filter($"vec_id" >= 5),
+      "vec_id", "embedding", k = 3, nCentroids = 6, nProbe = 6, bcastThreshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch(Long.MaxValue) == batch(0L))
+  }
+
   test("language id heuristic") {
     val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
