@@ -462,4 +462,16 @@ object GraftFunctions {
       })
     name
   }
+
+  /** Drop a function registered by [[registerCentroidBcast]]. The registry
+    * builder closure strongly references the Broadcast handle — left
+    * registered it would pin the matrix blocks for the session lifetime
+    * (the ContextCleaner only reclaims a broadcast once its driver handle
+    * becomes unreachable) and grow the registry by one entry per broadcast.
+    * Callers must resolve their plans first (analysis inlines the bound
+    * expression into the plan), then drop. */
+  def dropCentroidBcast(spark: SparkSession, name: String): Unit = {
+    spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(name))
+    ()
+  }
 }

@@ -36,6 +36,13 @@ final case class IvfIndex(centroids: Array[Seq[Double]],
   @transient private var matBcast:
     org.apache.spark.broadcast.Broadcast[graft.functions.CentroidMatrix] = _
 
+  // session functions bound to matBcast, dropped on release() — names are
+  // keyed on (broadcast id, nProbe) so growth is bounded by the distinct
+  // probe widths used against this index, but a released index must not
+  // leave registry entries pinning a destroyed broadcast
+  @transient private lazy val registeredFns =
+    scala.collection.mutable.Set.empty[(SparkSession, String)]
+
   private def matrixDoubles: Long =
     centroids.length.toLong * (if (centroids.isEmpty) 0 else centroids(0).length)
 
@@ -49,12 +56,18 @@ final case class IvfIndex(centroids: Array[Seq[Double]],
             new graft.functions.CentroidMatrix(centroids.map(_.toArray)))
       }
       val fn = graft.functions.GraftFunctions.registerCentroidBcast(spark, matBcast, nProbe)
+      synchronized { registeredFns += ((spark, fn)) }
       call_function(fn, vecCol)
     }
 
-  /** Release the centroid broadcast (no-op on the literal path). Call when
-    * the index is retired — broadcasts otherwise live until context stop. */
+  /** Release the centroid broadcast and its registry entries (no-op on the
+    * literal path). Call when the index is retired AND its plans have been
+    * consumed — broadcasts otherwise live until context stop. */
   def release(): Unit = synchronized {
+    registeredFns.foreach { case (s, fn) =>
+      graft.functions.GraftFunctions.dropCentroidBcast(s, fn)
+    }
+    registeredFns.clear()
     if (matBcast != null) { matBcast.destroy(); matBcast = null }
   }
 

@@ -467,8 +467,16 @@ object Multimodal {
     }
     if (!sawEnd || w <= 0 || h <= 0 || channels == 0) return None
     val bpp = channels
+    // size the raw buffer in Long BEFORE allocating: Int `h * (1 + w*bpp)`
+    // wraps negative for large-but-valid headers (NegativeArraySizeException
+    // kills the task), and a tiny blob declaring huge dims would otherwise
+    // allocate gigabytes up front. Deflate expands at most ~1032:1, so any
+    // raw size beyond that bound can never be filled — return None without
+    // allocating.
+    val rawLen = h.toLong * (1 + w.toLong * bpp)
+    if (rawLen > Int.MaxValue - 8 || rawLen > idat.size().toLong * 1032 + 64) return None
     val stride = w * bpp
-    val out = new Array[Byte](h * (1 + stride))
+    val out = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var filled = 0
@@ -586,8 +594,13 @@ object Multimodal {
           // a movi frame chunk ('00db' raw / '00dc' "compressed" — BI_RGB
           // streams use either id for raw DIB bits)
           if (compression != 0 || bpp != 24 || w <= 0 || h <= 0) { bad = true; return }
-          val stride = ((w * 3 + 3) / 4) * 4
-          if (sz != stride * h) { bad = true; return }
+          // Long arithmetic: Int `stride * h` can wrap mod 2^32 onto the
+          // (small, bounds-checked) sz for adversarial w/h — e.g. w=1,
+          // h=0x40000008, sz=32 — and the row loop then indexes past the
+          // array. After the Long equality holds, stride ≤ sz < 2^31.
+          val strideL = ((w.toLong * 3 + 3) / 4) * 4
+          if (strideL * h != sz.toLong) { bad = true; return }
+          val stride = strideL.toInt
           var y = 0
           while (y < h) {
             val row = off + 8 + y * stride

@@ -163,14 +163,18 @@ object Similarity {
     * is where that cost starts to matter. */
   private[ops] val DefaultCentroidBcastThreshold: Long = 1L << 20
 
-  /** [[nearestCells]] with automatic literal-vs-broadcast routing. The
-    * returned broadcast handle (None on the literal path) lets eager
-    * callers (the k-means iteration loop) destroy it as soon as the action
-    * completes; lazy callers leave it referenced by the returned plan and
-    * the ContextCleaner reclaims it when the plan is dropped. */
+  /** [[nearestCells]] with automatic literal-vs-broadcast routing. On the
+    * broadcast path the returned (handle, registered function name) pair —
+    * None on the literal path — carries the cleanup obligations: eager
+    * callers (the k-means iteration loop) drop the registry entry and
+    * destroy the broadcast as soon as the action completes; lazy callers
+    * force analysis of their final frame (which inlines the bound
+    * expression) and drop the registry entry before returning, so the
+    * analyzed plan holds the ONLY driver reference and the ContextCleaner
+    * can actually reclaim the matrix once the caller drops the frame. */
   private def nearestCellsAuto(spark: SparkSession, vecCol: Column,
       centroids: Array[Seq[Double]], nProbe: Int, bcastThreshold: Long)
-      : (Column, Option[org.apache.spark.broadcast.Broadcast[graft.functions.CentroidMatrix]]) = {
+      : (Column, Option[(org.apache.spark.broadcast.Broadcast[graft.functions.CentroidMatrix], String)]) = {
     val nDoubles = centroids.length.toLong *
       (if (centroids.isEmpty) 0 else centroids(0).length)
     if (nDoubles < bcastThreshold) (nearestCells(vecCol, centroids, nProbe), None)
@@ -178,7 +182,7 @@ object Similarity {
       val bc = spark.sparkContext.broadcast(
         new graft.functions.CentroidMatrix(centroids.map(_.toArray)))
       val fn = graft.functions.GraftFunctions.registerCentroidBcast(spark, bc, nProbe)
-      (call_function(fn, vecCol), Some(bc))
+      (call_function(fn, vecCol), Some((bc, fn)))
     }
   }
 
@@ -217,14 +221,18 @@ object Similarity {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
       // the matrix CHANGES every iteration — on the broadcast path each
-      // round gets its own broadcast, destroyed as soon as the (eager)
-      // aggregate collects, so k-means never accumulates stale matrices
+      // round gets its own broadcast, dropped from the registry and
+      // destroyed as soon as the (eager) aggregate collects, so k-means
+      // never accumulates stale matrices or registry entries
       val (cellCol, bc) = nearestCellsAuto(spark, col("v"), centroids, 1, bcastThreshold)
       val means = train
         .withColumn("cell", element_at(cellCol, 1))
         .groupBy(col("cell")).agg(count(lit(1)).as("n"), sums: _*)
         .collect()
-      bc.foreach(_.destroy())
+      bc.foreach { case (b, fn) =>
+        graft.functions.GraftFunctions.dropCentroidBcast(spark, fn)
+        b.destroy()
+      }
       // empty cells keep their previous centroid (deterministic)
       val updated = means.map { r =>
         val n = r.getLong(1).toDouble
@@ -245,10 +253,8 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val data = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
     val centroids = kMeansCentroids(spark, data, nCentroids, kmeansIters, bcastThreshold = bcastThreshold)
-    // assign: per row, the nProbe centroids with max cosine. Lazy plan →
-    // the broadcast (if any) stays referenced by it; ContextCleaner
-    // reclaims it once the caller drops the frame.
-    val (cellCol, _) = nearestCellsAuto(spark, col("v"), centroids, nProbe, bcastThreshold)
+    // assign: per row, the nProbe centroids with max cosine
+    val (cellCol, bc) = nearestCellsAuto(spark, col("v"), centroids, nProbe, bcastThreshold)
     val assigned = data
       .select(col("id"), col("v"), explode(cellCol).as("cell"))
     val q = array(query.map(lit): _*)
@@ -258,9 +264,17 @@ object Similarity {
       .map { case (v, i) => (i, cosSeq(v, query)) }
       .sortBy { case (i, c) => (-c, i) }
       .take(nProbe).map(_._1).toSeq
-    assigned.filter(col("cell").isin(qCells: _*))
+    val out = assigned.filter(col("cell").isin(qCells: _*))
       .select(col("id"), cosineNative(col("v"), q).as("cos")).distinct()
       .orderBy(desc("cos"), asc("id")).limit(k)
+    // resolve now, then drop the registry entry: the analyzed plan becomes
+    // the only driver reference to the broadcast, so the ContextCleaner can
+    // reclaim the matrix once the caller drops the frame
+    bc.foreach { case (_, fn) =>
+      out.queryExecution.analyzed
+      graft.functions.GraftFunctions.dropCentroidBcast(spark, fn)
+    }
+    out
   }
 
   /** Batch k-NN at scale: IVF-blocked instead of cartesian. Corpus vectors
@@ -295,11 +309,11 @@ object Similarity {
     val (assignCol, bc) = nearestCellsAuto(spark, col("v"), centroids, 1, bcastThreshold)
     val corpusCells = c.withColumn("cell", element_at(assignCol, 1))
     // queries → their nProbe best cells
-    val probeCol = bc match {
-      case Some(b) =>
+    val (probeCol, probeFn) = bc match {
+      case Some((b, _)) =>
         val fn = graft.functions.GraftFunctions.registerCentroidBcast(spark, b, nProbe)
-        call_function(fn, col("qv"))
-      case None => nearestCells(col("qv"), centroids, nProbe)
+        (call_function(fn, col("qv")), Some(fn))
+      case None => (nearestCells(col("qv"), centroids, nProbe), None)
     }
     val queryCells = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), col("qv"), explode(probeCol).as("cell"))
@@ -307,8 +321,16 @@ object Similarity {
       .select(col("qid"), col("id"),
         cosineNative(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val out = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("cos"))
+    // resolve, then drop both registry entries (assign + probe) — see
+    // ivfTopK: the analyzed plan keeps the one live broadcast reference
+    bc.foreach { case (_, assignFn) =>
+      out.queryExecution.analyzed
+      (Seq(assignFn) ++ probeFn).distinct
+        .foreach(graft.functions.GraftFunctions.dropCentroidBcast(spark, _))
+    }
+    out
   }
 
   private[ops] def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {

@@ -71,6 +71,21 @@ class MultimodalPixelSpec extends SparkTestBase {
     val wav = Multimodal.wavPcm(8000, 1, 10, 5)
     val badFmt = wav.clone(); badFmt(20) = 9 // compression code != PCM
     assert(Multimodal.decodeWavPcm(badFmt).isEmpty)
+    // IHDR declaring huge-but-positive dims: Int h*(1+w*bpp) wraps negative
+    // (NegativeArraySizeException pre-guard) — must return None, and must
+    // decide BEFORE allocating, so a 100-byte blob can't demand gigabytes.
+    // CRC is recomputed so the chunk passes integrity and reaches the sizer.
+    val bigDims = png.clone()
+    def putBe32(a: Array[Byte], at: Int, v: Int): Unit = {
+      a(at) = (v >> 24).toByte; a(at + 1) = (v >> 16).toByte
+      a(at + 2) = (v >> 8).toByte; a(at + 3) = v.toByte
+    }
+    putBe32(bigDims, 16, 0x20000000) // width  536870912
+    putBe32(bigDims, 20, 4)          // height 4 → rawLen > Int.MaxValue
+    val ihdrCrc = new java.util.zip.CRC32
+    ihdrCrc.update(bigDims, 12, 17)  // type + 13 data bytes
+    putBe32(bigDims, 29, ihdrCrc.getValue.toInt)
+    assert(Multimodal.decodePng(bigDims).isEmpty)
     // and through the Spark surface: unknowns come back typed, no task failure
     val media = Seq(
       Multimodal.MediaRow(1L, "image", flipped),
@@ -132,6 +147,18 @@ class MultimodalPixelSpec extends SparkTestBase {
     val huge = avi.clone()
     huge(dbAt + 4) = -16; huge(dbAt + 5) = -1; huge(dbAt + 6) = -1; huge(dbAt + 7) = 0x7f
     assert(Multimodal.decodeAviFrames(huge).isEmpty)
+    // Int-wrap stride check: w=1 → stride 4; h=0x40000008 makes Int
+    // stride*h wrap mod 2^32 to exactly 32 = the declared frame size, so an
+    // Int-arithmetic equality passes and the row loop runs off the array
+    val wrap = avi.clone()
+    def putLe32(a: Array[Byte], at: Int, v: Int): Unit = {
+      a(at) = v.toByte; a(at + 1) = (v >> 8).toByte
+      a(at + 2) = (v >> 16).toByte; a(at + 3) = (v >> 24).toByte
+    }
+    putLe32(wrap, strfAt + 8 + 4, 1)          // biWidth
+    putLe32(wrap, strfAt + 8 + 8, 0x40000008) // biHeight
+    putLe32(wrap, dbAt + 4, 32)               // frame chunk size
+    assert(Multimodal.decodeAviFrames(wrap).isEmpty)
     // through the Spark surface: typed fallback, no task failure
     val rows = Seq(
       Multimodal.MediaRow(1L, "video", avi),

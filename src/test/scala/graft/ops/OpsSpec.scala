@@ -160,6 +160,7 @@ class OpsSpec extends SparkTestBase {
       org.apache.spark.sql.functions.call_function(fn, $"embedding").as("cells"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(lit3 == bc3)
+    graft.functions.GraftFunctions.dropCentroidBcast(spark, fn)
     bc.destroy()
     // index-level parity: a forced-broadcast IvfIndex serves the same
     // assignment and top-k as the literal-path index
@@ -192,6 +193,12 @@ class OpsSpec extends SparkTestBase {
       "vec_id", "embedding", k = 3, nCentroids = 6, nProbe = 6, bcastThreshold = thr)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch(Long.MaxValue) == batch(0L))
+    // the registry must not accumulate per-broadcast entries: every bound
+    // function is dropped once the plan is resolved (else each entry pins
+    // its matrix broadcast for the session lifetime)
+    val leaked = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("ivf_cells_bcast_"))
+    assert(leaked.isEmpty, s"leaked registry entries: $leaked")
   }
 
   test("language id heuristic") {
