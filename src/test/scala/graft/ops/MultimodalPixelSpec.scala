@@ -168,6 +168,42 @@ class MultimodalPixelSpec extends SparkTestBase {
     assert(out == Map(1L -> "video", 2L -> "unknown", 3L -> "unknown"))
   }
 
+  test("deterministic fuzz: no mutation of any container can throw from a decoder") {
+    // the decoders' contract is total: structurally corrupt input returns
+    // None (or a wrong-but-typed Some for mutations that keep the container
+    // valid), NEVER an exception — an exception here is a task-killer at
+    // 100 TB. Deterministic mutation grid, no Random: every single-byte
+    // XOR, every truncation, and extreme 32-bit values at each 4-aligned
+    // header offset.
+    val containers: Seq[(String, Array[Byte])] = Seq(
+      ("png", Multimodal.pngFull(9, 7, 200, 100, 50)),
+      ("wav", Multimodal.wavPcm(16000, 2, 50, 1234)),
+      ("avi", Multimodal.aviFull(10, 6, 3, 40, 80, 120)))
+    def decodeAll(tag: String, b: Array[Byte], what: String): Unit =
+      try {
+        Multimodal.decodePng(b)
+        Multimodal.decodeWavPcm(b)
+        Multimodal.decodeAviFrames(b)
+        ()
+      } catch {
+        case e: Throwable => fail(s"$tag $what threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    for ((tag, base) <- containers) {
+      for (i <- base.indices) {
+        val m = base.clone(); m(i) = (m(i) ^ 0xff).toByte
+        decodeAll(tag, m, s"xor@$i")
+        decodeAll(tag, base.take(i), s"trunc@$i")
+      }
+      val extremes = Seq(0x7fffffff, 0x80000000, 0xfffffff0, 0x40000008)
+      for (off <- 0 until math.min(base.length - 4, 256) by 4; v <- extremes) {
+        val m = base.clone()
+        m(off) = v.toByte; m(off + 1) = (v >> 8).toByte
+        m(off + 2) = (v >> 16).toByte; m(off + 3) = (v >> 24).toByte
+        decodeAll(tag, m, s"le32@$off=$v")
+      }
+    }
+  }
+
   test("synthesizeDecodableVideo → decodePixels: every field matches videoParamsFor") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.synthesizeDecodableVideo(docs, "doc_id", "text")
