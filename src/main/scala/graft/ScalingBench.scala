@@ -67,9 +67,14 @@ object ScalingBench {
         // packs their read-back into ~6 partitions — starving the >6-core
         // leg (measured: the triples stage was FLAT 2→8 threads at 128m and
         // ~2× faster at 32m on 8 threads). A real 100 TB run has multi-TB
-        // stage outputs where 128m yields tens of thousands of splits; 32m
-        // here reproduces that splits >> cores regime at bench scale.
-        .config("spark.sql.files.maxPartitionBytes", "32m")
+        // stage outputs where 128m yields tens of thousands of splits; the
+        // bench split size must reproduce that splits >> cores regime for
+        // the SMALLEST hot input. 32m still left the 587 MB facts read at
+        // only 19 splits = 2.4 waves on 8 cores (last-wave idle ≈ 12%);
+        // 16m → 37 splits ≥ 4 waves. TriplesStageProbe A/B at 8 threads:
+        // stage 51.9/53.5 s (32m, quiet host) vs 40.7/43.6 s (16m) — both
+        // 16m reps beat every 32m rep; 2-thread leg is wave-insensitive.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         // Shuffle + checkpoint IO on tmpfs: a single box funnels all
         // "executors" through one virtual disk, which saturates and caps
         // scaling — an artifact a real cluster does not have (per-executor
