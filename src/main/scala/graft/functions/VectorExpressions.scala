@@ -440,6 +440,34 @@ object GraftFunctions {
         require(children.size == 1, "simhash64 takes exactly 1 argument")
         SimHash64(children.head)
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[CharShingleSet].getName, "shingle_set"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingle_set takes exactly 2 arguments")
+        CharShingleSet(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ngram_hash_set"),
+      new ExpressionInfo(classOf[NgramHashSet].getName, "ngram_hash_set"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "ngram_hash_set takes exactly 2 arguments")
+        NgramHashSet(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lang_id_words"),
+      new ExpressionInfo(classOf[LangIdWords].getName, "lang_id_words"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "lang_id_words takes exactly 1 argument")
+        LangIdWords(children.head)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("count_nonempty"),
+      new ExpressionInfo(classOf[CountNonEmpty].getName, "count_nonempty"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "count_nonempty takes exactly 1 argument")
+        CountNonEmpty(children.head)
+      })
   }
 
   /** Broadcast a centroid matrix once and register a session function bound

@@ -60,6 +60,7 @@ object Pipeline {
           validate: Boolean = false,
           linker: EntityLinker.LinkerParams = EntityLinker.LinkerParams(),
           inputSignature: String = ""): Result = {
+    graft.Tuning.sessionDefaults(spark)
     val ckpt = new StageCheckpoint(spark, workDir)
     val sig = inputSignature
     val linkSig = s"$sig;linker=$linker"

@@ -143,11 +143,20 @@ object Dedup {
     * `hashed = false` keeps `(id, sh: array<string>)` for parity tests. */
   private[graft] def ngramArraysFromWords(words: DataFrame, n: Int,
                                           hashed: Boolean = true): DataFrame = {
-    val grams = transform(sequence(lit(0), size(col("w")) - n),
-      i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))
-    val set = if (hashed) transform(grams, g => xxhash64(g)) else grams
-    words.filter(size(col("w")) >= n)
-      .select(col("id"), array_sort(array_distinct(set)).as("sh"))
+    if (hashed) {
+      // r06: fused native kernel (one loop per row) instead of the
+      // interpreted transform+slice+concat_ws+xxhash64 HOF chain; output is
+      // bit-identical (TokenSetParitySpec asserts it against the string
+      // formulation below + explicit xxhash64 mapping).
+      graft.functions.GraftFunctions.register(words.sparkSession)
+      words.filter(size(col("w")) >= n)
+        .select(col("id"), call_function("ngram_hash_set", col("w"), lit(n)).as("sh"))
+    } else {
+      val grams = transform(sequence(lit(0), size(col("w")) - n),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))
+      words.filter(size(col("w")) >= n)
+        .select(col("id"), array_sort(array_distinct(grams)).as("sh"))
+    }
   }
 
   /** Exploded distinct word n-grams: (id, token). */

@@ -18,14 +18,32 @@ object TextAnalysis {
   def whitespaceTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
+  /** The exact character inventory of the regex class `[A-Za-zÀ-ÿ]`
+    * (U+00C0–U+00FF inclusive — × and ÷ included, faithfully), enumerated so
+    * `translate` can count set membership without the per-char regex engine
+    * + replacement-string allocation of `regexp_replace`. */
+  private val alphaSet: String =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('À' to 'ÿ')).mkString
+  private val punctSet: String = ".,;:!?"
+
   /** Quality features + a composite score in [0,1]:
-    * length band, mean word length band, alpha ratio, punctuation ratio. */
+    * length band, mean word length band, alpha ratio, punctuation ratio.
+    *
+    * r06: the alpha/punct counts are `length(t) - length(translate(t, set,
+    * ""))` — `translate` (codegen'd map lookup) deletes exactly the chars
+    * the old `regexp_replace(t, "[^set]", "")` KEPT, so the counts are
+    * identical without running the regex engine over every char twice and
+    * allocating both stripped strings; the whitespace token count runs
+    * through the fused `count_nonempty` kernel instead of an interpreted
+    * `filter(split(...))` lambda pass. Output equality is pinned by the
+    * unchanged q_text_quality DuckDB oracle and OpsSpec. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val t = col(textCol)
     val nChars = length(t)
-    val nTokens = whitespaceTokenCount(t)
-    val alphaChars = length(regexp_replace(t, "[^A-Za-zÀ-ÿ]", ""))
-    val punctChars = length(regexp_replace(t, "[^.,;:!?]", ""))
+    val nTokens = call_function("count_nonempty", split(t, "\\s+"))
+    val alphaChars = nChars - length(translate(t, alphaSet, ""))
+    val punctChars = nChars - length(translate(t, punctSet, ""))
     val meanWordLen = when(nTokens > 0, nChars.cast("double") / nTokens).otherwise(lit(0.0))
     val alphaRatio = when(nChars > 0, alphaChars.cast("double") / nChars).otherwise(lit(0.0))
     val punctRatio = when(nChars > 0, punctChars.cast("double") / nChars).otherwise(lit(0.0))
@@ -48,19 +66,28 @@ object TextAnalysis {
     * and the max wins (ties: list order). The DuckDB oracle SQL is GENERATED
     * from this table (SparkEntry.langIdOracleSql), so the two sides cannot
     * drift. */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
-    "de" -> Seq("der", "und", "die", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
-    "fr" -> Seq("le", "et", "la", "les", "est", "des", "une", "dans", "que", "pour"),
-    "es" -> Seq("el", "y", "los", "las", "es", "un", "una", "por", "con", "para"),
-    "it" -> Seq("il", "e", "di", "che", "per", "della", "sono", "anche", "come", "alla"),
-    "pt" -> Seq("o", "os", "as", "um", "uma", "para", "com", "mais", "mas", "seu"),
-    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "met", "voor", "zijn"),
-    "sv" -> Seq("och", "att", "det", "som", "en", "är", "av", "för", "den", "till"))
+  val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.LangMarkers.table
 
-  /** Language ID: count stopword hits per language over word tokens, pick the
-    * max (ties: language order above); no hits → "und" (undetermined). */
-  def langId(text: Column): Column = {
+  /** Language ID via the fused `lang_id_words` kernel (one pass over the
+    * word array instead of 8 interpreted `filter` marker scans — r06;
+    * parity with [[langIdHof]] asserted in TokenSetParitySpec). Requires
+    * [[graft.functions.GraftFunctions.register]] on the session — callers
+    * with a DataFrame in hand use [[langIdFor]]. */
+  def langId(text: Column): Column =
+    call_function("lang_id_words",
+      split(lower(text), "[^a-zà-ÿ]+"))
+
+  /** [[langId]] with the session registration handled from the frame. */
+  def langIdFor(df: DataFrame, text: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    langId(text)
+  }
+
+  /** Portable higher-order-function formulation of [[langId]] — the
+    * kernel's parity oracle: count stopword hits per language over word
+    * tokens, pick the max (ties: language order above); no hits → "und". */
+  def langIdHof(text: Column): Column = {
     val words = filter(split(lower(text), "[^a-zà-ÿ]+"), w => length(w) > 0)
     val scores = langMarkers.map { case (lang, markers) =>
       val cnt = size(filter(words, w => markers.map(m => w === m).reduce(_ || _)))

@@ -197,9 +197,9 @@ final class Validator(
     * min m fails iff countDistinct < m, max m fails iff countDistinct > m
     * (absence counts as 0 — the reference's max query would simply return no
     * binding and the min query excludes the focus node). */
-  private def localCardInvalid(shape: Shape, targets: DataFrame): DataFrame = {
+  private def localCardInvalid(shape: Shape, targets: DataFrame): Option[DataFrame] = {
     val locals = shape.constraints.filter(_.shapeRef.isEmpty)
-    if (locals.isEmpty) return emptyFocus()
+    if (locals.isEmpty) return None
     val counted = locals.zipWithIndex.map { case (c, i) =>
       val cnt = selectiveRestrict(constraintEdges(c), targets)
         .groupBy($"focus").agg(countDistinct($"o").as(s"c$i"))
@@ -212,15 +212,15 @@ final class Validator(
       val cc = coalesce(col(s"c$i"), lit(0L))
       if (c.isMin) cc < c.min else cc > c.max
     }.reduce(_ || _)
-    df.filter(fail).select($"focus")
+    Some(df.filter(fail).select($"focus"))
   }
 
   /** sh:or handling (A11 + Validation.py:114-126): targets not satisfying
     * EVERY or-group (each group = disjunction of local cardinality options)
     * are invalid — unless the or-query result is empty, in which case the
     * reference skips or-filtering entirely (`if pending_val:` guard). */
-  private def orInvalid(shape: Shape, targets: DataFrame): DataFrame = {
-    if (shape.orGroups.isEmpty) return emptyFocus()
+  private def orInvalid(shape: Shape, targets: DataFrame): Option[DataFrame] = {
+    if (shape.orGroups.isEmpty) return None
     val groupSets = shape.orGroups.map { g =>
       val optionSets = g.options.map { opt =>
         stats.totalQueries += 1
@@ -234,14 +234,14 @@ final class Validator(
     }
     val orSet = groupSets.reduce((a, b) => a.join(b, Seq("focus"), "left_semi"))
       .localCheckpoint(true)
-    if (orSet.isEmpty) emptyFocus()
-    else targets.join(orSet, Seq("focus"), "left_anti")
+    if (orSet.isEmpty) None
+    else Some(targets.join(orSet, Seq("focus"), "left_anti"))
   }
 
   /** A12: sh:sparql violations — the reference's one-query-per-instance loop
     * becomes a single filter + semi-join. */
-  private def sparqlInvalid(shape: Shape, targets: DataFrame): DataFrame = {
-    if (shape.sparqlConstraints.isEmpty) return emptyFocus()
+  private def sparqlInvalid(shape: Shape, targets: DataFrame): Option[DataFrame] = {
+    if (shape.sparqlConstraints.isEmpty) return None
     val violators = shape.sparqlConstraints.map { sc =>
       SparqlSelect.compile(sc.select) match {
         case FilterCompare(pred, op, const) =>
@@ -256,7 +256,7 @@ final class Validator(
           triples.filter($"pred" === pred && $"obj" === obj).select($"subj".as("focus")).distinct()
       }
     }.reduce(_ union _)
-    targets.join(violators, Seq("focus"), "left_semi")
+    Some(targets.join(violators, Seq("focus"), "left_semi"))
   }
 
   private def emptyFocus(): DataFrame = spark.emptyDataset[String].toDF("focus")
@@ -340,11 +340,18 @@ final class Validator(
       s.id -> frame
     }.toMap
 
-    // 2-valued immediately-invalid sets. NOT deduplicated here — the final
-    // per-shape inv0 (after optional A10 pruning) gets ONE distinct.
-    val invalid0raw: Map[String, DataFrame] = schema.shapes.map { s =>
+    // 2-valued immediately-invalid PARTS, kept separate so structurally
+    // absent sources cost nothing: each part is individually distinct by
+    // construction (localCardInvalid/orInvalid derive from the distinct
+    // target frame via 1:≤1 joins / anti-joins, sparqlInvalid is a
+    // semi-join of targets, A10-classify aggregates per focus), so the
+    // final per-shape inv0 needs a distinct ONLY when ≥2 parts could
+    // overlap — and a shape with NO parts skips the union/distinct/persist
+    // /anti-join machinery entirely (r06: was a distinct + persist + anti-
+    // join of a provably-empty frame on every constraint-only shape).
+    val invalid0parts: Map[String, Seq[DataFrame]] = schema.shapes.map { s =>
       val t = targets(s.id)
-      s.id -> localCardInvalid(s, t).union(orInvalid(s, t)).union(sparqlInvalid(s, t))
+      s.id -> Seq(localCardInvalid(s, t), orInvalid(s, t), sparqlInvalid(s, t)).flatten
     }.toMap
 
     // ref-constraint edge sets, computed once (joined against evolving
@@ -393,8 +400,8 @@ final class Validator(
       * returns `marked(focus, __isF, __isT)` over `targets ∖ inv0d`.
       * (An empty inv0d costs nothing extra: AQE's empty-relation
       * propagation eliminates the anti-join at runtime.) */
-    def evalShape(s: Shape, inv0d: DataFrame): DataFrame = {
-      var cur = targets(s.id).join(inv0d, Seq("focus"), "left_anti")
+    def evalShape(s: Shape, inv0d: Option[DataFrame]): DataFrame = {
+      var cur = inv0d.fold(targets(s.id))(d => targets(s.id).join(d, Seq("focus"), "left_anti"))
       val fConds = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
       val tConds = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
       var idx = 0
@@ -466,27 +473,34 @@ final class Validator(
       * target pruned into inv0 is indistinguishable to the fixpoint from
       * one proven F in round 1 — F is monotone, so verdicts are unchanged
       * while the fixpoint's working set shrinks up front. */
-    def a10Prune(s: Shape, inv0raw: DataFrame): DataFrame = {
-      var inv0 = inv0raw
-      if (config.selective) {
-        TargetFilter.eligibleNeighbor(s, state.toMap, schema, config.maxSplitSize).foreach { ref =>
-          s.minConstraints.find(_.shapeRef.contains(ref)).foreach { c =>
-            val cls = TargetFilter.classify(spark, triples, targets(s.id), c,
-              state(ref).validFinal, config.expandSequencePaths)
-            inv0 = inv0.union(cls.invalid)
-            stats.prunedShapes += 1
-          }
-        }
+    def a10Prune(s: Shape): Seq[DataFrame] = {
+      if (!config.selective) return Nil
+      for {
+        ref <- TargetFilter.eligibleNeighbor(s, state.toMap, schema, config.maxSplitSize).toSeq
+        c <- s.minConstraints.find(_.shapeRef.contains(ref)).toSeq
+      } yield {
+        val cls = TargetFilter.classify(spark, triples, targets(s.id), c,
+          state(ref).validFinal, config.expandSequencePaths)
+        stats.prunedShapes += 1
+        cls.invalid
       }
-      inv0
+    }
+
+    /** Final per-shape inv0 from its parts: none → statically empty (no
+      * frame at all), one → already distinct, several → union + distinct. */
+    def combineInv0(parts: Seq[DataFrame]): Option[DataFrame] = parts match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => Some(many.reduce(_ union _).distinct())
     }
 
     stats.sccCount = sccs.size
     for (scc <- sccs) {
       if (!schema.isCyclic(scc)) {
         val s = schema.byId(scc.head)
-        val inv0d = pin(s.id, a10Prune(s, invalid0raw(s.id)).distinct())
-        val marked = pin(s.id, evalShape(s, inv0d))
+        val inv0dOpt = combineInv0(invalid0parts(s.id) ++ a10Prune(s)).map(pin(s.id, _))
+        val inv0d = inv0dOpt.getOrElse(emptyFocus())
+        val marked = pin(s.id, evalShape(s, inv0dOpt))
         // A shape with dependents is consumed from MULTIPLE downstream plan
         // branches (each dependent's joinStats, plus the final report). If
         // its lazily-persisted frames are still cold when those branches run
@@ -504,9 +518,11 @@ final class Validator(
         // (Validation.py:417-432). A10 runs against fully-evaluated
         // out-of-SCC neighbors only — exactly where the reference applies
         // target filtering for recursive shapes too (Validation.py:101-110).
-        val inv0d = scc.map { id =>
-          id -> a10Prune(schema.byId(id), invalid0raw(id)).distinct().localCheckpoint(true)
+        val inv0dOpt: Map[String, Option[DataFrame]] = scc.map { id =>
+          id -> combineInv0(invalid0parts(id) ++ a10Prune(schema.byId(id)))
+            .map(_.localCheckpoint(true))
         }.toMap
+        def inv0d(id: String): DataFrame = inv0dOpt(id).getOrElse(emptyFocus())
         scc.foreach { id =>
           state(id) = ShapeVerdict(targets(id), inv0d(id), emptyMarked().localCheckpoint(true))
         }
@@ -517,7 +533,7 @@ final class Validator(
           iter += 1
           stats.fixpointIterations += 1
           val updated = scc.map { id =>
-            id -> evalShape(schema.byId(id), inv0d(id)).localCheckpoint(true)
+            id -> evalShape(schema.byId(id), inv0dOpt(id)).localCheckpoint(true)
           }
           updated.foreach { case (id, marked) =>
             state(id) = ShapeVerdict(targets(id), inv0d(id), marked)

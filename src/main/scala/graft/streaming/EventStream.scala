@@ -20,13 +20,15 @@ object EventStream {
   /** Watermarked tumbling-window aggregation — the canonical streaming agg.
     * Late rows beyond `watermark` are dropped; state is bounded. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame =
+                     watermark: String = "2 hours"): DataFrame = {
+    graft.Tuning.sessionDefaults(events.sparkSession)
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(18,4)")), 4).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
 
   /** Streaming exact dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =

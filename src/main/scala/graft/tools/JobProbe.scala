@@ -36,7 +36,9 @@ object JobProbe {
     val stageToJob = new TrieMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val desc = Option(j.properties.getProperty("spark.job.description")).getOrElse("")
+        val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse("")
+        val desc = Option(j.properties.getProperty("spark.job.description"))
+          .filter(_.nonEmpty).getOrElse(site)
         jobsMap(j.jobId) = JobRec(start = j.time, desc = desc)
         j.stageIds.foreach(s => stageToJob(s) = j.jobId)
       }

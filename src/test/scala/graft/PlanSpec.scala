@@ -319,6 +319,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("extraction and text-analysis expressions stay inside whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = docs.select(graft.ops.TextAnalysis.langId($"text").as("l"),
       graft.ops.TextAnalysis.tokenCount($"text").as("n"))

@@ -202,6 +202,7 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("language id heuristic") {
+    graft.functions.GraftFunctions.register(spark)
     val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "en")
