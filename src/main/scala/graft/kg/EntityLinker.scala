@@ -41,9 +41,16 @@ object EntityLinker {
     val rawTok = TextSim.tokens(
       distinctSurfaces.select(col("surface").as("id"), col("surface").as("text")),
       "id", "text", params.minTokenLen)
-    val stopTokens = rawTok.groupBy(col("token"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select(col("token"))
-    val tok = rawTok.join(broadcast(stopTokens), Seq("token"), "left_anti").cache()
+    // ONE document-frequency aggregation serves BOTH the stopword filter
+    // and the TF-IDF weights (r06 — previously two full aggs over the
+    // token frame: one for stopTokens, one inside tfidf). df per token is
+    // identical computed before or after stopword removal (dropping other
+    // tokens' rows cannot change a surviving token's document count), so
+    // filtering AFTER the df join preserves the exact weights.
+    val dfCounts = rawTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tok = rawTok.join(dfCounts, Seq("token"))
+      .filter(col("df") <= maxDf)
+      .cache()
 
     // MinHash-LSH blocking (bands of 1 row: candidate iff ANY min-hash
     // collides; with k=12 a Jaccard-1/3 alias pair is missed with p≈(2/3)^12)
@@ -51,8 +58,11 @@ object EntityLinker {
     val cand = TextSim.candidatePairs(
       TextSim.lshBands(sig, params.minHashFunctions, params.rowsPerBand), params.bucketCap)
 
-    // TF-IDF cosine over the blocked pairs only
-    val weights = TextSim.tfidf(tok, n)
+    // TF-IDF weights straight from the carried df column (same formula as
+    // TextSim.tfidf, minus its second aggregation + join)
+    val weights = tok
+      .withColumn("w", log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)
+      .select(col("id"), col("token"), col("w"))
     val links = TextSim.cosineOnPairs(cand, weights)
       .filter(col("cos") >= params.cosineThreshold)
       .select(col("a"), col("b"))

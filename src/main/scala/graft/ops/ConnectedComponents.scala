@@ -51,14 +51,22 @@ object ConnectedComponents {
         .filter($"u" =!= $"v")
         .distinct()
 
-    var e = symmetrize(edges.select(col(src).as("u"), col(dst).as("v")))
+    // Gate the driver fallback on the RAW loop-free edges (r06): the local
+    // union-find is insensitive to duplicates and orientation, so small
+    // graphs skip the symmetrize-distinct SHUFFLE entirely — the raw
+    // checkpoint is a narrow map job. The symmetrized count/chars are
+    // bounded by 2× the raw values, so gating on the doubled raw stats is
+    // conservative: never local where the old gate wasn't.
+    val raw = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter($"u" =!= $"v")
       .localCheckpoint(true)
-
-    val (edgeCount, idChars) = e
+    val (rawCount, rawChars) = raw
       .select(count(lit(1)), coalesce(sum(length($"u") + length($"v")), lit(0L)))
       .as[(Long, Long)].first()
-    if (solveLocally(edgeCount, idChars, localThreshold, localThresholdBytes))
-      return localUnionFind(spark, e)
+    if (solveLocally(rawCount * 2, rawChars * 2, localThreshold, localThresholdBytes))
+      return localUnionFind(spark, raw)
+
+    var e = symmetrize(raw).localCheckpoint(true)
 
     def largeStar(g: DataFrame): DataFrame = {
       val sym = symmetrize(g)

@@ -240,19 +240,35 @@ object Dedup {
                            n: Int = 3, threshold: Double = 0.8,
                            numHashes: Int = 16, rowsPerBand: Int = 2,
                            bucketCap: Int = 1000): DataFrame = {
-    val words = wordTokens(df, idCol, textCol).localCheckpoint(true)
-    val sh = simHashFromWords(words).localCheckpoint(true)
+    graft.functions.GraftFunctions.register(spark)
+    // BOTH sketch columns (simhash + hashed n-gram set) come out of ONE
+    // pass over the corpus text and land in ONE eager checkpoint — r06:
+    // the previous formulation checkpointed words, simhashes and grams
+    // separately (three materialization jobs, two of them re-reading the
+    // words frame; the kernels made the sketch math cheap enough that the
+    // extra materializations dominated the stage).
+    val sketches = wordTokens(df, idCol, textCol)
+      .filter(size(col("w")) > 0)
+      .select(col("id"),
+        call_function("simhash64", col("w")).as("simhash"),
+        when(size(col("w")) >= n, call_function("ngram_hash_set", col("w"), lit(n))).as("sh"))
+      .localCheckpoint(true)
     val bandKeys = (0 until 4).map { b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
-    val bands = sh.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
+    val bands = sketches.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
     // same hub-bucket cap as every other blocker: a degenerate band key
     // shared by millions of docs must not go quadratic
     val simCand = TextSim.candidatePairs(bands, bucketCap)
-    val grams = ngramArraysFromWords(words, n).localCheckpoint(true)
+    val grams = sketches.filter(col("sh").isNotNull).select(col("id"), col("sh"))
     val sig = TextSim.minHashSignaturesFromSets(grams, numHashes)
     val minCand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
-    val cand = simCand.union(minCand).distinct()
+    // cross-family dedup at explicit defaultParallelism width — an AQE
+    // byte-coalesced distinct would funnel the whole exact-verification
+    // stage back onto one task (see TextSim.candidatePairs)
+    val cand = simCand.union(minCand)
+      .repartition(spark.sparkContext.defaultParallelism, col("a"), col("b"))
+      .dropDuplicates("a", "b")
     TextSim.jaccardOnPairSets(cand, grams).filter(col("jaccard") >= threshold)
   }
 

@@ -128,10 +128,16 @@ object Similarity {
     val capped = bands
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
       .filter(col("sz") <= bucketCap).drop("sz")
+    // explicit defaultParallelism-wide dedup exchange (reused by
+    // dropDuplicates): candidate rows are 16 bytes but each pays an
+    // O(dim) cosine downstream — AQE's byte-based coalescing would
+    // serialize the scoring stage (see TextSim.candidatePairs)
     val cand = capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .repartition(spark.sparkContext.defaultParallelism, col("a"), col("b"))
+      .dropDuplicates("a", "b")
     // eager checkpoint of the (small, banded+capped) verified pair set, then
     // RELEASE the sketch cache — a lazily returned frame would leave sk
     // persisted for the session lifetime, evicting other users' blocks

@@ -125,11 +125,23 @@ object TextSim {
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
       .filter(col("sz") <= bucketCap)
       .drop("sz")
+    // The cross-band dedup doubles as the PARALLELISM SPREAD for the
+    // downstream exact verification: candidate rows are two ids (~16 bytes)
+    // but each surviving pair pays an O(tokens/doc) verification merge, so
+    // AQE's byte-based coalescing would collapse the whole verification
+    // onto one task (measured: 125k-pair merge single-task, 0.64 s of the
+    // 1.6 s q_dedup_simhash_pairs wall). An explicit defaultParallelism-
+    // wide hash exchange on (a, b) is reused by dropDuplicates (same keys,
+    // same partition count — no second shuffle) and keeps the CPU-heavy
+    // stage at full width at any scale; at 16 bytes/row the exchange is
+    // noise even for billions of candidates.
+    val np = bands.sparkSession.sparkContext.defaultParallelism
     capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
+      .repartition(np, col("a"), col("b"))
+      .dropDuplicates("a", "b")
   }
 
   /** TF-IDF weights from an exploded (id, token) frame (set semantics — the
