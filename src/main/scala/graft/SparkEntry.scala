@@ -166,18 +166,27 @@ object SparkEntry {
           when(col("cnt") >= 1, lit("pending")).otherwise(lit("invalid")).as("status"))
     }),
 
+    // r06: ONE join + ONE aggregation computing both disjunction branches
+    // (was two join+agg pipelines + union + distinct — 4 exchanges -> 1).
+    // Equivalence with the frozen oracle (a UNION of the two branches):
+    //  - min branch: inner join + HAVING cO >= 3. cO >= 3 already implies
+    //    the customer has orders, so the inner-vs-left join distinction
+    //    cannot change the qualifying set.
+    //  - max branch: left join + HAVING cF <= 1 over ALL customers —
+    //    exactly the left-join aggregate here.
+    //  - UNION (set) of the branches = customers where either predicate
+    //    holds; c_custkey is unique, so the single groupBy emits each focus
+    //    once. Hash-checked against the oracle at sf0.001/sf0.01.
     "q_or_union" -> ((s, d) => {
       val cust = t(s, d, "customer").select(col("c_custkey").as("focus"))
       val ord = t(s, d, "orders")
-      val minBranch = cust.join(ord, cust("focus") === ord("o_custkey"))
+      cust.join(ord, cust("focus") === ord("o_custkey"), "left")
         .groupBy(col("focus"))
-        .agg(countDistinct(when(col("o_orderstatus") === "O", col("o_orderkey"))).as("c"))
-        .filter(col("c") >= 3).select(col("focus"))
-      val maxBranch = cust.join(ord, cust("focus") === ord("o_custkey"), "left")
-        .groupBy(col("focus"))
-        .agg(countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey"))).as("c"))
-        .filter(col("c") <= 1).select(col("focus"))
-      minBranch.union(maxBranch).distinct()
+        .agg(
+          countDistinct(when(col("o_orderstatus") === "O", col("o_orderkey"))).as("cO"),
+          countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey"))).as("cF"))
+        .filter(col("cO") >= 3 || col("cF") <= 1)
+        .select(col("focus"))
     }),
 
     "q_sparql_constraint_anti" -> ((s, d) => {
@@ -396,8 +405,16 @@ object SparkEntry {
         nCentroids = 8, iters = 3, trainCap = 500).save(s, s"$dir/index")
       val idx = graft.ops.IvfIndex.load(s, s"$dir/index")
       val assigned = idx.assignCorpus(corpus, "vec_id", "embedding")
-      idx.batchTopK(queries, assigned, "vec_id", "embedding", k = 5, nProbe = 8)
+      // materialize the (k×|queries|-row) result, then RELEASE the index —
+      // the documented serving lifecycle (r05 verdict item 4): a retired
+      // large-matrix index would otherwise pin its centroid broadcast for
+      // the session. No-op on the literal path used at this matrix size;
+      // OpsSpec asserts the ≥2²⁰-double cycle leaves no registry entry.
+      val out = idx.batchTopK(queries, assigned, "vec_id", "embedding", k = 5, nProbe = 8)
         .select(col("qid"), col("id"))
+        .localCheckpoint(true)
+      idx.release()
+      out
     }),
 
     "q_ann_lsh_pairs" -> ((s, d) => {

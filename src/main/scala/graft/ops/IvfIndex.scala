@@ -73,7 +73,15 @@ final case class IvfIndex(centroids: Array[Seq[Double]],
 
   /** One-pass corpus assignment: input columns preserved, plus `cell` (the
     * max-cosine centroid index). Write the result bucketed/partitioned by
-    * `cell` to serve probes without a shuffle. */
+    * `cell` to serve probes without a shuffle.
+    *
+    * LIFECYCLE: on the large-matrix (broadcast) path the returned plan
+    * references this index's centroid broadcast — materialize the outputs
+    * of every [[assignCorpus]]/[[batchTopK]] plan you intend to keep, then
+    * call [[release]] when the index is retired (the declared
+    * q_ann_index_topk serving query demonstrates the cycle; OpsSpec asserts
+    * a ≥2²⁰-double fit→assign→topK→release cycle leaves no registry
+    * entry). */
   def assignCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -217,12 +217,15 @@ object Similarity {
       else data.withColumn("__h", xxhash64(col("id")))
         .orderBy(col("__h"), col("id")).limit(trainCap.toInt)
         .select(col("id"), col("v")).localCheckpoint(true)
-    val dim = train.select(size(col("v"))).head().getInt(0)
     var centroids: Array[Seq[Double]] = train
       .withColumn("__r", xxhash64(col("id")))
       .orderBy(col("__r"), col("id")).limit(k)
       .select(col("v")).collect()
       .map(r => r.getSeq[Any](0).map(x => x.toString.toDouble))
+    // dimension read off the collected seeds — the separate size() probe
+    // job it replaces was one more driver round-trip per training call (r06)
+    require(centroids.nonEmpty, "kMeansCentroids: empty training set")
+    val dim = centroids(0).length
     for (_ <- 0 until iters) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))

@@ -361,7 +361,12 @@ final class Validator(
     // shapes (whose edges re-join every fixpoint round) pin them.
     def targetRestrict(df: DataFrame, shapeId: String): DataFrame =
       selectiveRestrict(df, targets(shapeId))
-    def pinEdges(id: String, df: DataFrame): DataFrame = pin(id, df)
+    // r06: acyclic shapes consume each ref-edge frame exactly once (their
+    // evalShape runs once and each constraint's edges feed one joinStats),
+    // so persisting them only paid a cache write per frame; only cyclic
+    // shapes — whose edges re-join every fixpoint round — pin them.
+    def pinEdges(id: String, df: DataFrame): DataFrame =
+      if (cyclicIds.contains(id)) df.localCheckpoint(true) else df
     val refMinEdges: Map[String, Seq[(CardConstraint, DataFrame)]] = schema.shapes.map { s =>
       s.id -> s.minConstraints.filter(_.shapeRef.isDefined).map { c =>
         val e = refEdges(c, targets.getOrElse(c.shapeRef.get, emptyFocus()))

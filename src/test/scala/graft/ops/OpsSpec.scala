@@ -201,6 +201,28 @@ class OpsSpec extends SparkTestBase {
     assert(leaked.isEmpty, s"leaked registry entries: $leaked")
   }
 
+  test("IvfIndex serving cycle: fit -> save/load -> assign -> topK -> release leaves no registry entry") {
+    val dim = 16
+    val emb = (0 until 300).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => (((i * 29 + j * 11) % 21) - 10).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cycle").toString
+    IvfIndex.fit(spark, emb.filter($"vec_id" >= 5), "vec_id", "embedding",
+      nCentroids = 8, iters = 2, trainCap = 200).save(spark, s"$dir/index")
+    // bcastThreshold = 0 forces the broadcast path the >= 2^20-double
+    // production matrix takes (the threshold is only a size gate onto the
+    // same code), so the release obligation is exercised for real
+    val idx = IvfIndex.load(spark, s"$dir/index").copy(bcastThreshold = 0)
+    val assigned = idx.assignCorpus(emb.filter($"vec_id" >= 5), "vec_id", "embedding")
+    val out = idx.batchTopK(emb.filter($"vec_id" < 5), assigned,
+      "vec_id", "embedding", k = 3, nProbe = 8).collect()
+    assert(out.nonEmpty)
+    idx.release()
+    val leaked = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("ivf_cells_bcast_"))
+    assert(leaked.isEmpty, s"leaked registry entries after release(): $leaked")
+  }
+
   test("language id heuristic") {
     graft.functions.GraftFunctions.register(spark)
     val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
