@@ -30,11 +30,71 @@ object SparkEntry {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Parquet footer layout per path: (total row groups, total rows).
+    * Metadata only, never data — same rationale as [[schemaCache]]. */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def footerLayout(spark: SparkSession, path: String): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      else Seq(st)
+    var rowGroups = 0L
+    var rows = 0L
+    files.foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try { rowGroups += r.getRowGroups.size().toLong; rows += r.getRecordCount }
+      finally r.close()
+    }
+    (rowGroups, rows)
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     Tuning.sessionDefaults(spark)
     val path = s"$dir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
     spark.read.schema(schema).parquet(path)
+  }
+
+  /** [[t]] plus a conditional spread for row-group-starved inputs feeding
+    * COMPUTE-DENSE projections (opt guide §2.5 "input skew — one huge
+    * unsplittable file ... repartition immediately after the read"): a
+    * parquet row group is the unit of scan parallelism, so a file with
+    * fewer row groups than the session has cores runs its entire scan
+    * stage — decode plus every kernel/regex/partial-aggregation fused into
+    * it — on that many tasks no matter how many byte-range splits Spark
+    * plans (the sf inputs are single-row-group files: 21 planned lineitem
+    * splits, 20 of them empty, one task doing all 600k rows). One
+    * deterministic hash exchange on the lead id column right after the
+    * (unavoidably serial) decode moves the per-row work to full width —
+    * hash, not round-robin, so no sortBeforeRepartition binary-sort inside
+    * the serial task and retry-deterministic placement for free; lead
+    * column only, so column pruning still reaches the scan.
+    *
+    * Opt-in per query rather than default in [[t]]: the exchange costs a
+    * fixed ~0.1–0.3 s of scheduling latency at this scale, so it only pays
+    * where the fused per-row work exceeds that (regex/text-kernel and
+    * decimal-aggregation scans — measured per query in
+    * OPTIMIZATION_r06.md); scan-light queries keep the plain scan. The
+    * gate reads the parquet FOOTERS (cached metadata, never data): a
+    * production-layout table with ≥ cores row groups — anything written
+    * with sane 128 MB–1 GB files — takes the plain scan with no plan
+    * change, so the spread cannot fire at 100 TB. */
+  private def tSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val base = t(spark, dir, name)
+    val path = s"$dir/$name.parquet"
+    val (rowGroups, rows) = layoutCache.computeIfAbsent(path, p => footerLayout(spark, p))
+    val cores = spark.sparkContext.defaultParallelism
+    if (rowGroups < cores && rows >= 1000L)
+      base.repartition(cores, col(base.schema.fieldNames.head))
+    else base
   }
 
   /** Scratch dirs for queries that materialize intermediate state (KG
@@ -235,7 +295,7 @@ object SparkEntry {
           count(lit(1)).as("n"))),
 
     "q_agg_pricing_summary" -> ((s, d) =>
-      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+      tSpread(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity").cast("decimal(12,2)")), 2).cast("double").as("sum_qty"),
           round(sum(col("l_extendedprice").cast("decimal(14,2)")), 2).cast("double").as("sum_price"),
@@ -305,17 +365,17 @@ object SparkEntry {
     // the DuckDB oracle is unchanged.
     "q_token_count" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      t(s, d, "documents").select(col("doc_id").as("id"),
+      tSpread(s, d, "documents").select(col("doc_id").as("id"),
         regexp_count(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_tokens"),
         call_function("count_nonempty", split(col("text"), "\\s+")).as("n_ws_tokens"))
     }),
 
     "q_text_quality" -> ((s, d) =>
-      TextAnalysis.qualityFeatures(t(s, d, "documents"), "doc_id", "text")),
+      TextAnalysis.qualityFeatures(tSpread(s, d, "documents"), "doc_id", "text")),
 
     "q_lang_id" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = tSpread(s, d, "documents")
       docs.select(col("doc_id").as("id"),
         TextAnalysis.langIdFor(docs, col("text")).as("lang_pred"))
     }),
@@ -375,8 +435,13 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0).map(_.toDouble)
+      // trainCap: k-means fits on a deterministic 500-row sample (the 100 TB
+      // serving recipe — training never scans the full corpus). Result-
+      // equivalent BY CONSTRUCTION: nProbe = nCentroids probes every cell,
+      // so the top-k is exact regardless of where the centroids land; the
+      // frozen oracle (brute-force ground truth) pins exactly that.
       Similarity.ivfTopK(s, emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          q, 10, nCentroids = 8, nProbe = 8)
+          q, 10, nCentroids = 8, nProbe = 8, trainCap = 500)
         .select(col("id"))
     }),
 
@@ -386,9 +451,14 @@ object SparkEntry {
     // recall is asserted in OpsSpec.
     "q_ann_batch_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      // trainCap as in q_ann_ivf_full_probe: full probe (nProbe = nCentroids)
+      // makes the result exact — identical rows for ANY centroid placement —
+      // while k-means now fits on a 500-row deterministic sample instead of
+      // re-scanning the corpus 5 times (the 100 TB serving shape, same
+      // parameters the persistent-index path already uses).
       Similarity.ivfBatchTopK(s,
           emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
-          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 8)
+          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 8, trainCap = 500)
         .select(col("qid"), col("id"))
     }),
 

@@ -257,11 +257,12 @@ object Similarity {
     * top-k (id, cos). */
   def ivfTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-              kmeansIters: Int = 5,
+              kmeansIters: Int = 5, trainCap: Long = 0,
               bcastThreshold: Long = DefaultCentroidBcastThreshold): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val data = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
-    val centroids = kMeansCentroids(spark, data, nCentroids, kmeansIters, bcastThreshold = bcastThreshold)
+    val centroids = kMeansCentroids(spark, data, nCentroids, kmeansIters, trainCap,
+      bcastThreshold = bcastThreshold)
     // assign: per row, the nProbe centroids with max cosine
     val (cellCol, bc) = nearestCellsAuto(spark, col("v"), centroids, nProbe, bcastThreshold)
     val assigned = data
@@ -308,11 +309,12 @@ object Similarity {
   def ivfBatchTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
                    idCol: String, vecCol: String, k: Int,
                    nCentroids: Int = 16, nProbe: Int = 4,
-                   kmeansIters: Int = 5,
+                   kmeansIters: Int = 5, trainCap: Long = 0,
                    bcastThreshold: Long = DefaultCentroidBcastThreshold): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
-    val centroids = kMeansCentroids(spark, c, nCentroids, kmeansIters, bcastThreshold = bcastThreshold)
+    val centroids = kMeansCentroids(spark, c, nCentroids, kmeansIters, trainCap,
+      bcastThreshold = bcastThreshold)
     // corpus → exactly one cell (its max-cosine centroid); both sides share
     // ONE broadcast on the large-matrix path (two stages, one fetch/executor)
     val (assignCol, bc) = nearestCellsAuto(spark, col("v"), centroids, 1, bcastThreshold)

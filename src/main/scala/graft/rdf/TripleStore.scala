@@ -37,8 +37,18 @@ object TripleStore {
     val _ = buckets
   }
 
+  /** One explicit exchange on the bucket key before the bucketed write:
+    * `repartition(buckets, subj)` uses the same Murmur3(subj) % buckets
+    * mapping as the bucket spec, so every write task holds exactly ONE
+    * bucket's rows and emits one file per (pred, bucket) — without it each
+    * input task writes a file for every bucket it happens to touch (up to
+    * tasks × buckets × preds files, all tiny), and a serial upstream (the
+    * row-group-starved bench inputs) serializes the whole sort+encode+write
+    * onto a handful of tasks. Also the write parallelism now equals the
+    * bucket count at any scale (opt guide §6: sensible output file sizing). */
   def writeBucketedTable(df: DataFrame, table: String, buckets: Int = 32): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, col("subj"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("pred")
       .bucketBy(buckets, "subj")
       .sortBy("subj")
