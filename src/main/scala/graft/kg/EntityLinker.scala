@@ -29,13 +29,38 @@ object EntityLinker {
       maxDfFraction: Double = 0.1)
 
   /** @param surfaces single-column DataFrame of surface strings (any name)
+    * @param localThreshold distinct-surface count at or below which the
+    *        whole linking chain runs as a driver-side computation instead
+    *        of ~12 tiny Spark stages (opt r06; same rationale and gate
+    *        shape as [[ConnectedComponents.run]]'s union-find fallback:
+    *        broadcast-scale inputs pay pure scheduling latency on the
+    *        distributed path). Output is IDENTICAL — the local path
+    *        reproduces Spark's own hash chain (XXH64, seed 42) for
+    *        minhash signatures and band keys, the same stopword/df
+    *        arithmetic, the same cosine formula and the same min-id/
+    *        longest-surface conventions; EntityLinkerParitySpec asserts
+    *        bit-equality against the distributed path.
+    * @param localThresholdBytes byte bound on the fallback (count alone is
+    *        not a safe gate for fat surfaces) — measured char payload ×4
+    *        must fit under it.
     * @return DataFrame(surface, canonical) covering every input surface
     *         (unlinked surfaces map to themselves). */
   def link(spark: SparkSession, surfaces: DataFrame,
-           params: LinkerParams = LinkerParams()): DataFrame = {
+           params: LinkerParams = LinkerParams(),
+           localThreshold: Long = 10000L,
+           localThresholdBytes: Long = 32L << 20): DataFrame = {
+    import spark.implicits._
     val inCol = surfaces.columns(0)
     val distinctSurfaces = surfaces.select(col(inCol).as("surface")).distinct().cache()
-    val n = distinctSurfaces.count()
+    // count + payload estimate in the ONE aggregate the path needs anyway
+    val (n, chars) = distinctSurfaces
+      .agg(count(lit(1)), coalesce(sum(length(col("surface"))), lit(0L)))
+      .as[(Long, Long)].first()
+    if (n <= localThreshold && chars * 4 <= localThresholdBytes) {
+      val all = distinctSurfaces.as[String].collect()
+      distinctSurfaces.unpersist()
+      return linkLocal(spark, all, params)
+    }
 
     val maxDf = math.max(8L, (n * params.maxDfFraction).toLong)
     val rawTok = TextSim.tokens(
@@ -81,5 +106,106 @@ object EntityLinker {
       .join(comps.withColumnRenamed("node", "surface"), Seq("surface"), "left")
       .join(reps, Seq("component"), "left")
       .select(col("surface"), coalesce(col("canonical"), col("surface")).as("canonical"))
+  }
+
+  /** Driver-side replica of the distributed chain for broadcast-scale
+    * surface sets. Every step reproduces the distributed semantics exactly:
+    *  - tokens: Spark `lower` (UTF8String.toLowerCase) + `split(regex, -1)`
+    *    + length filter + per-surface distinct;
+    *  - df/stopwords/idf: identical integer and double arithmetic;
+    *  - minhash: Spark's `xxhash64(token, lit(i))` fold — seed 42, UTF8
+    *    bytes, then one hashInt step per seed (the same XXH64 chain the
+    *    native kernels reproduce, SetSketchParitySpec);
+    *  - band keys: `xxhash64(h_b…)` fold over the band's slots;
+    *  - pair orientation and representative ties: UTF8 binary order (what
+    *    Spark's string `<` and struct `min` compare);
+    *  - components: min-id union-find, as [[ConnectedComponents]]' fallback.
+    * EntityLinkerParitySpec asserts output equality against the distributed
+    * path on generated alias corpora. */
+  private[kg] def linkLocal(spark: SparkSession, all: Array[String],
+                            params: LinkerParams): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val n = all.length.toLong
+    val maxDf = math.max(8L, (n * params.maxDfFraction).toLong)
+    def binLt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
+    val tokensOf: Array[Array[String]] = all.map { s =>
+      UTF8String.fromString(s).toLowerCase.toString
+        .split("[^a-z0-9]+", -1)
+        .filter(_.length >= params.minTokenLen).distinct
+    }
+    val df = scala.collection.mutable.HashMap.empty[String, Long]
+    tokensOf.foreach(_.foreach(t => df.update(t, df.getOrElse(t, 0L) + 1L)))
+    // surviving tokens, sorted for a deterministic summation order below
+    val kept: Array[Array[String]] =
+      tokensOf.map(_.filter(t => df(t) <= maxDf).sorted)
+
+    val k = params.minHashFunctions
+    val tokenBase = scala.collection.mutable.HashMap.empty[String, Long]
+    def base(t: String): Long =
+      tokenBase.getOrElseUpdate(t, XXH64.hashUTF8String(UTF8String.fromString(t), 42L))
+    val bands = k / params.rowsPerBand
+    val buckets = scala.collection.mutable.HashMap.empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
+    for (i <- all.indices if kept(i).nonEmpty) {
+      val sig = Array.tabulate(k) { j =>
+        var mn = Long.MaxValue
+        kept(i).foreach { t => val h = XXH64.hashInt(j, base(t)); if (h < mn) mn = h }
+        mn
+      }
+      for (b <- 0 until bands) {
+        var key = 42L
+        (b * params.rowsPerBand until (b + 1) * params.rowsPerBand)
+          .foreach(slot => key = XXH64.hashLong(sig(slot), key))
+        buckets.getOrElseUpdate((b, key), scala.collection.mutable.ArrayBuffer.empty) += i
+      }
+    }
+
+    val cand = scala.collection.mutable.HashSet.empty[(Int, Int)]
+    buckets.valuesIterator.filter(_.size <= params.bucketCap).foreach { ids =>
+      val arr = ids.toArray
+      for (x <- arr.indices; y <- x + 1 until arr.length) {
+        val (i, j) = (arr(x), arr(y))
+        if (i != j) cand += (if (binLt(all(i), all(j))) (i, j) else (j, i))
+      }
+    }
+
+    def w(t: String): Double = math.log((n + 1.0) / (df(t) + 1.0)) + 1.0
+    val norms: Array[Double] = kept.map(ts => math.sqrt(ts.map(t => { val x = w(t); x * x }).sum))
+    val links = cand.iterator.filter { case (i, j) =>
+      val shared = kept(i).toSet.intersect(kept(j).toSet).toSeq.sorted
+      val dot = shared.map(t => w(t) * w(t)).sum
+      norms(i) > 0 && norms(j) > 0 && dot / (norms(i) * norms(j)) >= params.cosineThreshold
+    }.toSeq
+
+    // min-id union-find (as ConnectedComponents.localUnionFind)
+    val parent = scala.collection.mutable.HashMap.empty[Int, Int]
+    def find(x: Int): Int = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    links.foreach { case (i, j) =>
+      parent.getOrElseUpdate(i, i); parent.getOrElseUpdate(j, j)
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) { if (binLt(all(ri), all(rj))) parent(rj) = ri else parent(ri) = rj }
+    }
+    // representative per component: longest surface, ties binary-smallest
+    val rep = scala.collection.mutable.HashMap.empty[Int, Int]
+    parent.keysIterator.foreach { i =>
+      val r = find(i)
+      val cur = rep.get(r)
+      if (cur.isEmpty || all(i).length > all(cur.get).length ||
+          (all(i).length == all(cur.get).length && binLt(all(i), all(cur.get))))
+        rep(r) = i
+    }
+    all.indices.map { i =>
+      val canon = if (parent.contains(i)) all(rep(find(i))) else all(i)
+      (all(i), canon)
+    }.toDF("surface", "canonical")
   }
 }
