@@ -114,11 +114,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     shaclValidate(spark, "/root/testdata/sf0.001")
 
-  /** Relational → triple view: the validation engine's input shape. */
+  /** Relational → triple view: the validation engine's input shape.
+    * The orders/lineitem legs go through [[tSpread]]: every consumer fuses
+    * id-concat string building plus a partial countDistinct into the scan,
+    * which the single-row-group bench files would otherwise serialize onto
+    * one task per consumer (~1 s for the hasLine leg alone). */
   private def asTriples(spark: SparkSession, dir: String): DataFrame = {
     val customer = t(spark, dir, "customer")
-    val orders = t(spark, dir, "orders")
-    val lineitem = t(spark, dir, "lineitem")
+    val orders = tSpread(spark, dir, "orders")
+    val lineitem = tSpread(spark, dir, "lineitem")
     customer.select(concat(lit("c"), col("c_custkey")).as("subj"),
         lit(Rdf.rdfType).as("pred"), lit("Customer").as("obj"))
       .union(orders.select(concat(lit("o"), col("o_orderkey")).as("subj"),
@@ -237,14 +241,24 @@ object SparkEntry {
     //  - UNION (set) of the branches = customers where either predicate
     //    holds; c_custkey is unique, so the single groupBy emits each focus
     //    once. Hash-checked against the oracle at sf0.001/sf0.01.
+    // r06 (2): the two countDistinct(when …) aggregates planned through an
+    // Expand that DOUBLED every joined row before the shuffle; the explicit
+    // two-level form — dedup (focus, o_orderkey) carrying the two status
+    // flags, then plain counts — shuffles each row once (guide §2.3).
+    // Equivalence: a flag is constant across duplicate (focus, okey) rows
+    // (it depends only on the order row), so max preserves it through the
+    // dedup and count(when(flag, okey)) ≡ countDistinct of the flagged
+    // okeys. Hash-checked against the frozen oracle at sf0.001/sf0.01.
     "q_or_union" -> ((s, d) => {
       val cust = t(s, d, "customer").select(col("c_custkey").as("focus"))
       val ord = t(s, d, "orders")
       cust.join(ord, cust("focus") === ord("o_custkey"), "left")
+        .groupBy(col("focus"), col("o_orderkey"))
+        .agg(max(col("o_orderstatus") === "O").as("isO"),
+          max(col("o_orderstatus") === "F").as("isF"))
         .groupBy(col("focus"))
-        .agg(
-          countDistinct(when(col("o_orderstatus") === "O", col("o_orderkey"))).as("cO"),
-          countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey"))).as("cF"))
+        .agg(count(when(col("isO"), col("o_orderkey"))).as("cO"),
+          count(when(col("isF"), col("o_orderkey"))).as("cF"))
         .filter(col("cO") >= 3 || col("cF") <= 1)
         .select(col("focus"))
     }),

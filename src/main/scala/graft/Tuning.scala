@@ -9,12 +9,6 @@ import org.apache.spark.sql.SparkSession
   * (local[32], sf0.1, JobProbe): q_shacl_validate ran 34 jobs where most
   * post-shuffle stages carried 32 near-empty tasks.
   *
-  *  - `spark.sql.adaptive.coalescePartitions.parallelismFirst` (stock true):
-  *    AQE ignores `advisoryPartitionSizeInBytes` and keeps ~defaultParallelism
-  *    partitions for small shuffles. Spark's own config doc recommends
-  *    setting it false; with it false AQE sizes post-shuffle partitions by
-  *    bytes — at 100 TB that is the 100 MB–1 GB partition regime the guide
-  *    prescribes, locally it collapses KB-sized shuffles to one task.
   *  - `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` (stock
   *    false): persisted plans (the validator pins per-shape verdict frames)
   *    otherwise execute WITHOUT AQE partition coalescing, so every cached
@@ -30,12 +24,22 @@ import org.apache.spark.sql.SparkSession
   * Each value is applied ONLY when the session still carries the stock
   * default (a user's explicit setting always wins), and
   * `SPARK_GRAFT_NO_SESSION_TUNING=1` disables the whole mechanism.
+  *
+  * `spark.sql.adaptive.coalescePartitions.parallelismFirst` was briefly set
+  * false here (Spark's doc recommendation for byte-heavy shuffles) and
+  * REVERTED to stock true after a repeat-5 A/B: this engine's post-shuffle
+  * stages are compute-dense per byte (string distinct aggregations,
+  * candidate verification), and byte-based coalescing funneled 5–8 MB
+  * aggregations onto ONE task (measured 0.3–0.55 s single-task reduces in
+  * q_shacl_validate; min-of-5 flagship 2.85 s → 2.59 s stock). Stock
+  * behavior still collapses KB-sized shuffles via the 1 MB
+  * minPartitionSize floor, which is what the false setting was meant to
+  * buy. Ledger: OPTIMIZATION_r06.md §session-tuning.
   */
 object Tuning {
 
   /** (key, stock default, tuned value) */
   private val tuned: Seq[(String, String, String)] = Seq(
-    ("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true", "false"),
     ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false", "true"),
     ("spark.sql.files.openCostInBytes", "4194304", "524288"))
 

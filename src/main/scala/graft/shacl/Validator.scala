@@ -413,8 +413,20 @@ final class Validator(
 
       /** One aggregation per ref constraint: left-join the referenced
         * shape's T/F verdict sets onto the typed edges and aggregate cntT,
-        * cntF and the total typed-object count together (countDistinct —
-        * edges are not pre-deduplicated). nonF = tot - cntF. */
+        * cntF and the total typed-object count together (distinct counts —
+        * edges are not pre-deduplicated). nonF = tot - cntF.
+        *
+        * Written as an EXPLICIT two-level aggregation — dedup (focus, o)
+        * carrying the T/F flags, then plain counts — instead of three
+        * `countDistinct` calls: multiple distinct aggregates plan through
+        * an Expand that triples every edge row before the shuffle (opt r06,
+        * guide §2.3 "shuffle fewer bytes"; both bench plans carried
+        * `Expand [3 projections]`). Equivalence: the flags depend only on
+        * `o` (semi-set membership), so they are constant across duplicate
+        * (focus, o) rows and `max` preserves them through the dedup;
+        * `count(when(flag, o))` over deduped rows ≡ countDistinct of the
+        * flagged objects (o is never null on a path edge, and `count($"o")`
+        * ≡ countDistinct(o) after dedup either way). */
       def joinStats(edges: DataFrame, refId: String): (String, String, String) = {
         idx += 1
         val (tc, fc, tot) = (s"cntT$idx", s"cntF$idx", s"tot$idx")
@@ -424,10 +436,11 @@ final class Validator(
         val st = edges
           .join(tSet, Seq("o"), "left")
           .join(fSet, Seq("o"), "left")
+          .groupBy($"focus", $"o").agg(max($"__t").as("__t"), max($"__f").as("__f"))
           .groupBy($"focus").agg(
-            countDistinct(when($"__t", $"o")).as(tc),
-            countDistinct(when($"__f", $"o")).as(fc),
-            countDistinct($"o").as(tot))
+            count(when($"__t", $"o")).as(tc),
+            count(when($"__f", $"o")).as(fc),
+            count($"o").as(tot))
         cur = cur.join(st, Seq("focus"), "left")
         (tc, fc, tot)
       }
