@@ -455,7 +455,7 @@ object SparkEntry {
       // so the top-k is exact regardless of where the centroids land; the
       // frozen oracle (brute-force ground truth) pins exactly that.
       Similarity.ivfTopK(s, emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          q, 10, nCentroids = 8, nProbe = 8, trainCap = 500)
+          q, 10, nCentroids = 8, nProbe = 8, kmeansIters = 3, trainCap = 500)
         .select(col("id"))
     }),
 
@@ -472,7 +472,8 @@ object SparkEntry {
       // parameters the persistent-index path already uses).
       Similarity.ivfBatchTopK(s,
           emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
-          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 8, trainCap = 500)
+          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 8,
+          kmeansIters = 3, trainCap = 500)
         .select(col("qid"), col("id"))
     }),
 

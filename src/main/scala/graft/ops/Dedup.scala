@@ -256,19 +256,22 @@ object Dedup {
     val bandKeys = (0 until 4).map { b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
-    val bands = sketches.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
-    // same hub-bucket cap as every other blocker: a degenerate band key
-    // shared by millions of docs must not go quadratic
-    val simCand = TextSim.candidatePairs(bands, bucketCap)
+    val simBands = sketches.select(col("id"), posexplode(array(bandKeys: _*))).toDF("id", "band", "key")
     val grams = sketches.filter(col("sh").isNotNull).select(col("id"), col("sh"))
     val sig = TextSim.minHashSignaturesFromSets(grams, numHashes)
-    val minCand = TextSim.candidatePairs(TextSim.lshBands(sig, numHashes, rowsPerBand), bucketCap)
-    // cross-family dedup at explicit defaultParallelism width — an AQE
-    // byte-coalesced distinct would funnel the whole exact-verification
-    // stage back onto one task (see TextSim.candidatePairs)
-    val cand = simCand.union(minCand)
-      .repartition(spark.sparkContext.defaultParallelism, col("a"), col("b"))
-      .dropDuplicates("a", "b")
+    // BOTH blocker families feed ONE band frame (minhash band ids offset
+    // past the 4 simhash bands so buckets stay family-disjoint) and ONE
+    // candidatePairs chain — r06 (2): the per-family chains each paid a
+    // bucket-cap window, a bucket self-join and a dedup exchange, plus a
+    // third exchange for the cross-family union; the fused frame pays each
+    // once. Candidate set is IDENTICAL: buckets are keyed (band, key), the
+    // band-id spaces are disjoint, so per-bucket caps and pair generation
+    // are unchanged and candidatePairs' trailing dropDuplicates is exactly
+    // the old cross-family dedup. Same hub-bucket cap as every blocker: a
+    // degenerate band key shared by millions of docs must not go quadratic.
+    val minBands = TextSim.lshBands(sig, numHashes, rowsPerBand)
+      .select(col("id"), (col("band") + 4).as("band"), col("key"))
+    val cand = TextSim.candidatePairs(simBands.union(minBands), bucketCap)
     TextSim.jaccardOnPairSets(cand, grams).filter(col("jaccard") >= threshold)
   }
 
