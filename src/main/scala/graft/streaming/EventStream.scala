@@ -61,15 +61,39 @@ object EventStream {
   }
 
   /** Run a streaming DataFrame to completion against a memory sink (used by
-    * tests; production would write to a real sink with checkpointing). */
+    * tests; production would write to a real sink with checkpointing).
+    *
+    * Non-Append runs skip watermark-only ("no-data") micro-batches: those
+    * batches exist to flush state during lulls — in Append mode they emit
+    * the final windows of a bounded input and MUST stay on, but in Update/
+    * Complete mode an empty batch cannot change the emitted rows (Update
+    * emits only on aggregate change, Complete re-emits the same result)
+    * while still re-running the full stateful aggregation across every
+    * state partition (opt r06, StreamProbe: 0.6–0.8 s of the 1.6 s
+    * streaming bench entry was this one empty batch). The conf is captured
+    * by the query at start() (the stream clones the session state), so the
+    * session value is restored immediately after — concurrent/later Append
+    * queries see the stock setting. EventStreamSpec's batch-equivalence
+    * assertions run under this path. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Update()): StreamingQuery = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val skipNoData = outputMode != OutputMode.Append()
+    val prior = spark.conf.getOption(key)
+    if (skipNoData) spark.conf.set(key, "false")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q
+    } finally {
+      if (skipNoData) prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }
