@@ -512,6 +512,14 @@ final class Validator(
       case many => Some(many.reduce(_ union _).distinct())
     }
 
+    /** Guide §1.5: label jobs by validation phase + shape so multi-job
+      * evaluations are attributable in the UI/JobProbe. Thread-local and
+      * restored by the caller pattern (description cleared at run end). */
+    def labeled[T](desc: String)(f: => T): T = {
+      spark.sparkContext.setJobDescription(desc)
+      try f finally spark.sparkContext.setJobDescription(null)
+    }
+
     stats.sccCount = sccs.size
     for (scc <- sccs) {
       if (!schema.isCyclic(scc)) {
@@ -526,7 +534,8 @@ final class Validator(
         // evaluation subtree (racing the cache) — nondeterministic 2-4×
         // work. One cheap count materializes the cache exactly once, in
         // dependency order; leaf shapes stay fully lazy.
-        if (referencedIds.contains(s.id)) marked.count()
+        if (referencedIds.contains(s.id))
+          labeled(s"shacl eval+pin ${s.id}")(marked.count())
         state(s.id) = ShapeVerdict(targets(s.id), inv0d, marked)
       } else {
         stats.cyclicSccCount += 1
