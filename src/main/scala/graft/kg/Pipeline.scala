@@ -74,10 +74,13 @@ object Pipeline {
     // written in the old IRI-string schema.
     val facts = ckpt.stage("facts", s"$sig;fmt=compact") { Extraction.factsCompact(turns) }
 
+    // ONE scan of the facts checkpoint (r06, guide §2.3): the union-of-two-
+    // projections form read the checkpoint twice; exploding both surface
+    // columns in one pass emits the same multiset (subj surfaces plus
+    // non-null obj surfaces) into the same distinct.
     val surfaces = ckpt.stage("surfaces", sig) {
-      facts.select(col("subjSurface").as("surface"))
-        .union(facts.filter(col("objSurface").isNotNull)
-          .select(col("objSurface").as("surface")))
+      facts.select(explode(array(col("subjSurface"), col("objSurface"))).as("surface"))
+        .filter(col("surface").isNotNull)
         .distinct()
     }
 
